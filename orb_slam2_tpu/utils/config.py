@@ -1,0 +1,158 @@
+"""Frozen configuration for the whole engine.
+
+One dataclass replaces the reference's cv::FileStorage YAML reads scattered
+across System/Tracking/Viewer ctors (`src/Tracking.cc:93-217`,
+`src/System.cc:46-54`). `SlamConfig.from_yaml` accepts the reference's own
+settings files unchanged (including the OpenCV `%YAML:1.0` header), so a user
+can point this engine at e.g. `Examples/Monocular/TUM1.yaml`.
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+import re
+from typing import Optional
+
+SENSOR_MONOCULAR = 0
+SENSOR_STEREO = 1
+SENSOR_RGBD = 2
+
+
+def _next_pow2(n: int) -> int:
+    return 1 << max(0, (n - 1)).bit_length()
+
+
+@dataclasses.dataclass(frozen=True)
+class SlamConfig:
+    # Camera (reference YAML `Camera.*`)
+    fx: float = 517.306408
+    fy: float = 516.469215
+    cx: float = 318.643040
+    cy: float = 255.313989
+    k1: float = 0.0
+    k2: float = 0.0
+    p1: float = 0.0
+    p2: float = 0.0
+    k3: float = 0.0
+    fps: float = 30.0
+    bf: float = 0.0                 # stereo baseline * fx
+    rgb_order: int = 1              # Camera.RGB
+    width: int = 640
+    height: int = 480
+    depth_map_factor: float = 1.0   # DepthMapFactor (RGBD)
+    th_depth: float = 35.0          # ThDepth: close/far stereo point threshold (in baselines)
+
+    # ORB extractor (reference YAML `ORBextractor.*`)
+    n_features: int = 1000
+    scale_factor: float = 1.2
+    n_levels: int = 8
+    ini_th_fast: int = 20
+    min_th_fast: int = 7
+
+    # Sensor
+    sensor: int = SENSOR_MONOCULAR
+
+    # ---- Fixed-capacity shapes (TPU-native additions; everything is padded
+    # to these and masked). ----
+    max_keypoints: Optional[int] = None      # default: next_pow2(n_features)
+    max_keyframes: int = 512
+    max_map_points: int = 1 << 16
+    max_local_keyframes: int = 80            # local-map KF cap (src/Tracking.cc:1959)
+    max_local_points: int = 1 << 13          # local map point buffer
+    max_obs_per_point: int = 32              # point -> observing KFs capacity
+
+    # Matching thresholds (src/ORBmatcher.cc:56-58)
+    th_high: int = 100
+    th_low: int = 50
+    histo_length: int = 30
+
+    # Solver schedules
+    pose_opt_rounds: int = 4
+    pose_opt_iters: int = 10
+    local_ba_iters: int = 10
+    global_ba_iters: int = 10
+
+    # Loop closing / place recognition
+    covis_consistency_th: int = 3            # src/LoopClosing.cc:91
+    min_covis_weight: int = 15               # src/KeyFrame.cc:465
+    essential_graph_min_feat: int = 100      # src/Optimizer.cc:1103
+
+    def __post_init__(self):
+        if self.max_keypoints is None:
+            object.__setattr__(self, "max_keypoints", _next_pow2(int(self.n_features * 1.25)))
+
+    # Derived
+    @property
+    def baseline(self) -> float:
+        return self.bf / self.fx if self.bf else 0.0
+
+    @property
+    def scale_factors(self):
+        return [self.scale_factor ** i for i in range(self.n_levels)]
+
+    @property
+    def level_sigma2(self):
+        return [s * s for s in self.scale_factors]
+
+    def features_per_level(self):
+        """Per-pyramid-level feature budget via the geometric split used by the
+        reference (`src/ORBextractor.cc:516-531`): level 0 gets the most."""
+        factor = 1.0 / self.scale_factor
+        n_desired = self.n_features * (1 - factor) / (1 - factor ** self.n_levels)
+        budgets = []
+        total = 0
+        for _ in range(self.n_levels - 1):
+            b = int(round(n_desired))
+            budgets.append(b)
+            total += b
+            n_desired *= factor
+        budgets.append(max(self.n_features - total, 0))
+        return budgets
+
+    @staticmethod
+    def from_yaml(path: str, sensor: int = SENSOR_MONOCULAR, **overrides) -> "SlamConfig":
+        """Load a reference-format settings YAML (OpenCV FileStorage flavor)."""
+        import yaml
+
+        with open(path) as f:
+            text = f.read()
+        text = re.sub(r"^%YAML:[\d.]+", "", text.strip())
+        text = text.replace("!!opencv-matrix", "")
+        data = yaml.safe_load(text) or {}
+
+        def g(key, default):
+            return data.get(key, default)
+
+        kw = dict(
+            fx=float(g("Camera.fx", 517.3)),
+            fy=float(g("Camera.fy", 516.5)),
+            cx=float(g("Camera.cx", 318.6)),
+            cy=float(g("Camera.cy", 255.3)),
+            k1=float(g("Camera.k1", 0.0)),
+            k2=float(g("Camera.k2", 0.0)),
+            p1=float(g("Camera.p1", 0.0)),
+            p2=float(g("Camera.p2", 0.0)),
+            k3=float(g("Camera.k3", 0.0)),
+            fps=float(g("Camera.fps", 30.0)) or 30.0,
+            bf=float(g("Camera.bf", 0.0)),
+            rgb_order=int(g("Camera.RGB", 1)),
+            width=int(g("Camera.width", 640)),
+            height=int(g("Camera.height", 480)),
+            th_depth=float(g("ThDepth", 35.0)),
+            n_features=int(g("ORBextractor.nFeatures", 1000)),
+            scale_factor=float(g("ORBextractor.scaleFactor", 1.2)),
+            n_levels=int(g("ORBextractor.nLevels", 8)),
+            ini_th_fast=int(g("ORBextractor.iniThFAST", 20)),
+            min_th_fast=int(g("ORBextractor.minThFAST", 7)),
+            sensor=sensor,
+        )
+        dmf = float(g("DepthMapFactor", 1.0))
+        kw["depth_map_factor"] = 1.0 if abs(dmf) < 1e-5 else dmf
+        kw.update(overrides)
+        return SlamConfig(**kw)
+
+    def camera(self):
+        from ..geometry.camera import Camera
+
+        return Camera.make(self.fx, self.fy, self.cx, self.cy, self.k1, self.k2,
+                           self.p1, self.p2, self.k3, self.bf, self.width, self.height)
