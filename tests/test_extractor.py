@@ -1,0 +1,145 @@
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from orb_slam2_tpu.ops import fast as fast_ops
+from orb_slam2_tpu.ops import image as image_ops
+from orb_slam2_tpu.ops import orient_brief
+from orb_slam2_tpu.ops import extractor
+from orb_slam2_tpu.utils.config import SlamConfig
+
+import oracle
+
+
+def synth_image(rng, h=120, w=160):
+    """Random blobby texture with strong corners."""
+    img = rng.uniform(0, 64, size=(h, w))
+    for _ in range(40):
+        y = rng.integers(10, h - 10)
+        x = rng.integers(10, w - 10)
+        s = rng.integers(3, 8)
+        img[y : y + s, x : x + s] += rng.uniform(64, 192)
+    return np.clip(img, 0, 255).astype(np.float32)
+
+
+class TestFast:
+    def test_score_matches_oracle(self, rng):
+        img = synth_image(rng)
+        score = np.asarray(fast_ops.fast_score_map(jnp.asarray(img)))
+        ys, xs = np.nonzero(score > 20)
+        assert len(ys) > 10
+        sel = rng.choice(len(ys), size=min(50, len(ys)), replace=False)
+        for i in sel:
+            expected = oracle.fast_score(img, ys[i], xs[i])
+            assert abs(score[ys[i], xs[i]] - expected) < 1e-3, (ys[i], xs[i])
+
+    def test_non_corners_zeroish(self, rng):
+        img = np.full((64, 64), 100.0, dtype=np.float32)
+        score = np.asarray(fast_ops.fast_score_map(jnp.asarray(img)))
+        assert (score <= 0).all()
+
+    def test_candidates_dual_threshold(self, rng):
+        img = synth_image(rng)
+        score = fast_ops.fast_score_map(jnp.asarray(img))
+        cand, cscore = fast_ops.compute_candidates(score, 20.0, 7.0, 16, 160 - 16, 16, 120 - 16)
+        cand = np.asarray(cand)
+        s = np.asarray(score)
+        assert cand.sum() > 0
+        # every candidate exceeds the low threshold and lies in the region
+        ys, xs = np.nonzero(cand)
+        assert (s[ys, xs] > 7.0).all()
+        assert ys.min() >= 19 and xs.min() >= 19
+
+
+class TestOrientBrief:
+    def test_ic_angle_matches_oracle(self, rng):
+        img = synth_image(rng)
+        pts = np.stack([rng.integers(20, 100, 30), rng.integers(20, 140, 30)], axis=-1)
+        ang = np.asarray(orient_brief.ic_angles(jnp.asarray(img), jnp.asarray(pts[:, 0]), jnp.asarray(pts[:, 1])))
+        for i in range(len(pts)):
+            expected = oracle.ic_angle(img, pts[i, 0], pts[i, 1])
+            diff = abs(ang[i] - expected) % 360
+            assert min(diff, 360 - diff) < 0.05, (i, ang[i], expected)
+
+    def test_brief_matches_oracle(self, rng):
+        img = synth_image(rng)
+        blur = np.asarray(image_ops.gaussian_blur(jnp.asarray(img)))
+        pat = orient_brief.brief_pattern()
+        pts = np.stack([rng.integers(25, 95, 20), rng.integers(25, 135, 20)], axis=-1)
+        angles = rng.uniform(0, 360, 20).astype(np.float32)
+        desc = np.asarray(
+            orient_brief.steered_brief(
+                jnp.asarray(blur.astype(np.float32)),
+                jnp.asarray(pts[:, 0]), jnp.asarray(pts[:, 1]), jnp.asarray(angles)))
+        mismatched_bits = 0
+        for i in range(len(pts)):
+            expected = oracle.steered_brief(blur, pts[i, 0], pts[i, 1], angles[i], pat)
+            mismatched_bits += oracle.hamming(desc[i], expected)
+        # float32 vs float64 rounding at cvRound boundaries can flip the odd
+        # bit; demand near-exactness
+        assert mismatched_bits <= 3, mismatched_bits
+
+    def test_blur_matches_oracle(self, rng):
+        img = synth_image(rng, 40, 50)
+        ours = np.asarray(image_ops.gaussian_blur(jnp.asarray(img)))
+        ref = oracle.gaussian_blur9(img)
+        np.testing.assert_allclose(ours, ref, atol=1e-2)
+
+    def test_umax_matches_oracle(self):
+        np.testing.assert_array_equal(orient_brief.umax_table(), oracle.umax_table())
+
+
+class TestResize:
+    def test_identity(self, rng):
+        img = synth_image(rng, 40, 50)
+        out = np.asarray(image_ops.resize_bilinear(jnp.asarray(img), 40, 50))
+        np.testing.assert_allclose(out, img, atol=1e-4)
+
+    def test_downscale_average(self):
+        img = np.arange(16, dtype=np.float32).reshape(4, 4)
+        out = np.asarray(image_ops.resize_bilinear(jnp.asarray(img), 2, 2))
+        # 2x downscale with pixel-center convention samples at src 0.5,2.5
+        expected = np.array([[2.5, 4.5], [10.5, 12.5]])
+        np.testing.assert_allclose(out, expected, atol=1e-4)
+
+
+class TestExtractor:
+    @pytest.fixture(scope="class")
+    def cfg(self):
+        return SlamConfig(n_features=200, width=160, height=120, n_levels=4)
+
+    def test_full_extract(self, rng, cfg):
+        img = synth_image(rng)
+        kps = extractor.extract(jnp.asarray(img), cfg)
+        n = int(kps.n)
+        assert 30 < n <= 200
+        v = np.asarray(kps.valid)
+        xy = np.asarray(kps.xy)[v]
+        assert (xy[:, 0] >= 0).all() and (xy[:, 0] < 160).all()
+        assert (xy[:, 1] >= 0).all() and (xy[:, 1] < 120).all()
+        # descriptors of valid keypoints are non-trivial
+        desc = np.asarray(kps.desc)[v]
+        popcnt = np.array([sum(bin(int(w)).count("1") for w in row) for row in desc])
+        assert popcnt.mean() > 50 and popcnt.mean() < 200
+        # levels populated
+        lv = np.asarray(kps.level)[v]
+        assert lv.max() >= 1
+
+    def test_extract_deterministic(self, rng, cfg):
+        img = synth_image(rng)
+        k1 = extractor.extract(jnp.asarray(img), cfg)
+        k2 = extractor.extract(jnp.asarray(img), cfg)
+        np.testing.assert_array_equal(np.asarray(k1.xy), np.asarray(k2.xy))
+        np.testing.assert_array_equal(np.asarray(k1.desc), np.asarray(k2.desc))
+
+    def test_keypoints_on_actual_corners(self, rng, cfg):
+        # single bright square -> corners at its 4 vertices
+        img = np.full((120, 160), 30.0, dtype=np.float32)
+        img[50:70, 60:90] = 220.0
+        kps = extractor.extract(jnp.asarray(img), cfg)
+        v = np.asarray(kps.valid) & (np.asarray(kps.level) == 0)
+        xy = np.asarray(kps.xy)[v]
+        assert len(xy) >= 4
+        for cy, cx in [(50, 60), (50, 89), (69, 60), (69, 89)]:
+            d = np.abs(xy - np.array([cx, cy])).max(axis=1).min()
+            assert d <= 2.0, (cy, cx, d)
