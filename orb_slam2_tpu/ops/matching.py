@@ -1,0 +1,222 @@
+"""Descriptor matching kernels — dense, masked, fixed-shape.
+
+TPU-native replacement for ORBmatcher (`src/ORBmatcher.cc`). The reference
+avoids O(N*M) work on CPU via a 64x48 feature grid and BoW buckets; at
+N,M <= 4096 a full masked Hamming matrix (XOR + popcount over 8 uint32 words)
+is a few MFLOP-equivalents on the VPU, so every search variant here is one
+distance matrix + candidate mask + (best, second-best) reduction. The grid
+and the FeatureVector buckets disappear entirely.
+
+Thresholds: TH_HIGH=100, TH_LOW=50, HISTO_LENGTH=30 (`src/ORBmatcher.cc:56-58`).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+TH_HIGH = 100
+TH_LOW = 50
+HISTO_LENGTH = 30
+BIG = 512  # > max possible Hamming distance (256)
+
+
+def hamming_matrix(desc_a, desc_b):
+    """(N,8) uint32 x (M,8) uint32 -> (N,M) int32 Hamming distances.
+
+    Replaces `ORBmatcher::DescriptorDistance` (`src/ORBmatcher.cc:2123-2143`)
+    in batched form: one XOR + population_count per word pair.
+    """
+    x = jnp.bitwise_xor(desc_a[:, None, :], desc_b[None, :, :])
+    return jnp.sum(jax.lax.population_count(x), axis=-1).astype(jnp.int32)
+
+
+def best_two(dist, cand_mask):
+    """Per row of (N,M): best and second-best distances + best index among
+    candidates. Masked-out entries count as BIG."""
+    d = jnp.where(cand_mask, dist, BIG)
+    best = jnp.min(d, axis=1)
+    best_idx = jnp.argmin(d, axis=1)
+    d2 = d.at[jnp.arange(d.shape[0]), best_idx].set(BIG)
+    second = jnp.min(d2, axis=1)
+    return best, best_idx, second
+
+
+def resolve_conflicts(best_idx, best_dist, accept, n_targets):
+    """Keep, for each target, only the accepted source with minimal distance.
+
+    Mirrors the reference's overwrite-previous-match behavior (e.g.
+    `SearchForInitialization`'s vnMatches21 bookkeeping,
+    `src/ORBmatcher.cc:700-720`) deterministically: lowest distance wins,
+    ties -> lowest source index.
+    """
+    n = best_idx.shape[0]
+    key = jnp.where(accept, best_dist * n + jnp.arange(n), BIG * n + n)
+    target_best = jnp.full((n_targets,), BIG * n + n, dtype=key.dtype).at[best_idx].min(key)
+    keep = accept & (key == target_best[best_idx])
+    return keep
+
+
+def rotation_consistency(angle_src, angle_dst, matched_mask, best_idx):
+    """Keep matches whose angle difference falls in the 3 dominant bins of a
+    30-bin rotation histogram (`ORBmatcher::ComputeThreeMaxima`,
+    `src/ORBmatcher.cc:2076-2118`, incl. the <0.1x pruning of bins 2,3)."""
+    rot = angle_src - angle_dst[best_idx]
+    rot = jnp.where(rot < 0, rot + 360.0, rot)
+    factor = 1.0 / (360.0 / HISTO_LENGTH)
+    bin_ = jnp.round(rot * factor).astype(jnp.int32)
+    bin_ = jnp.where(bin_ == HISTO_LENGTH, 0, bin_)
+    counts = jnp.zeros((HISTO_LENGTH,), jnp.int32).at[bin_].add(matched_mask.astype(jnp.int32))
+    top3_val, top3_idx = jax.lax.top_k(counts, 3)
+    keep_bin = jnp.zeros((HISTO_LENGTH,), bool)
+    keep_bin = keep_bin.at[top3_idx[0]].set(True)
+    keep_bin = keep_bin.at[top3_idx[1]].set(top3_val[1] >= 0.1 * top3_val[0])
+    keep_bin = keep_bin.at[top3_idx[2]].set(top3_val[2] >= 0.1 * top3_val[0])
+    return matched_mask & keep_bin[bin_]
+
+
+class Matches(NamedTuple):
+    """Fixed-shape match result: for each of N sources, a target index and a
+    validity flag."""
+    idx: jnp.ndarray    # (N,) int32 into targets
+    dist: jnp.ndarray   # (N,) int32
+    valid: jnp.ndarray  # (N,) bool
+
+
+def search_by_projection_points(
+    uv, pred_level, view_cos, point_desc, point_valid, point_ur,
+    kp_xy, kp_level, kp_desc, kp_valid, kp_ur,
+    scale_factors, th: float, nn_ratio: float = 0.8,
+    already_matched=None,
+):
+    """Local-map point -> current frame search
+    (`ORBmatcher::SearchByProjection(Frame&, vector<MapPoint*>&, th)`,
+    `src/ORBmatcher.cc:78-191`).
+
+    uv: (P,2) projected pixel coords of map points; pred_level: (P,) predicted
+    octave; view_cos: (P,); point_ur: (P,) projected right-x or -1;
+    kp_ur: (N,) frame keypoint right-x or -1. Returns Matches over P sources.
+    """
+    sf = jnp.asarray(scale_factors)
+    r = jnp.where(view_cos > 0.998, 2.5, 4.0) * th
+    radius = r * sf[jnp.clip(pred_level, 0, sf.shape[0] - 1)]        # (P,)
+
+    d2 = jnp.sum((uv[:, None, :] - kp_xy[None, :, :]) ** 2, axis=-1)
+    # Chebyshev window like GetFeaturesInArea uses a square window
+    win = (jnp.abs(uv[:, None, 0] - kp_xy[None, :, 0]) < radius[:, None]) & (
+        jnp.abs(uv[:, None, 1] - kp_xy[None, :, 1]) < radius[:, None]
+    )
+    del d2
+    lvl_ok = (kp_level[None, :] >= pred_level[:, None] - 1) & (
+        kp_level[None, :] <= pred_level[:, None]
+    )
+    stereo_ok = jnp.where(
+        (point_ur[:, None] >= 0) & (kp_ur[None, :] >= 0),
+        jnp.abs(point_ur[:, None] - kp_ur[None, :]) < radius[:, None],
+        True,
+    )
+    cand = win & lvl_ok & stereo_ok & point_valid[:, None] & kp_valid[None, :]
+    if already_matched is not None:
+        cand = cand & (~already_matched)[None, :]
+
+    dist = hamming_matrix(point_desc, kp_desc)
+    best, best_idx, second = best_two(dist, cand)
+
+    # level-aware ratio test: only applied when best and second share a level
+    best_lvl = kp_level[best_idx]
+    d_masked = jnp.where(cand, dist, BIG)
+    same_lvl = jnp.where(kp_level[None, :] == best_lvl[:, None], d_masked, BIG)
+    same_lvl = same_lvl.at[jnp.arange(dist.shape[0]), best_idx].set(BIG)
+    second_same_lvl = jnp.min(same_lvl, axis=1)
+    ratio_ok = jnp.where(
+        second_same_lvl < BIG, best <= nn_ratio * second_same_lvl, True
+    )
+    del second
+
+    accept = (best <= TH_HIGH) & ratio_ok & point_valid
+    keep = resolve_conflicts(best_idx, best, accept, kp_xy.shape[0])
+    return Matches(best_idx.astype(jnp.int32), best, keep)
+
+
+def search_by_projection_frame(
+    uv, src_level, src_desc, src_valid, src_angle, src_ur,
+    kp_xy, kp_level, kp_desc, kp_valid, kp_angle, kp_ur,
+    scale_factors, th: float, forward: bool, backward: bool,
+    check_rotation: bool = True,
+):
+    """Last-frame -> current-frame projection search for the motion model
+    (`ORBmatcher::SearchByProjection(Frame&, Frame&, th, bMono)`,
+    `src/ORBmatcher.cc:1741-1921`). Search radius th*scale(src level); the
+    candidate octave window follows the forward/backward camera motion rule.
+    """
+    sf = jnp.asarray(scale_factors)
+    radius = th * sf[jnp.clip(src_level, 0, sf.shape[0] - 1)]
+
+    win = (jnp.abs(uv[:, None, 0] - kp_xy[None, :, 0]) < radius[:, None]) & (
+        jnp.abs(uv[:, None, 1] - kp_xy[None, :, 1]) < radius[:, None]
+    )
+    if forward:
+        lvl_ok = kp_level[None, :] >= src_level[:, None]
+    elif backward:
+        lvl_ok = kp_level[None, :] <= src_level[:, None]
+    else:
+        lvl_ok = (kp_level[None, :] >= src_level[:, None] - 1) & (
+            kp_level[None, :] <= src_level[:, None] + 1
+        )
+    stereo_ok = jnp.where(
+        (src_ur[:, None] >= 0) & (kp_ur[None, :] >= 0),
+        jnp.abs(src_ur[:, None] - kp_ur[None, :]) < radius[:, None],
+        True,
+    )
+    cand = win & lvl_ok & stereo_ok & src_valid[:, None] & kp_valid[None, :]
+
+    dist = hamming_matrix(src_desc, kp_desc)
+    best, best_idx, _ = best_two(dist, cand)
+    accept = (best <= TH_HIGH) & src_valid
+    if check_rotation:
+        accept = rotation_consistency(src_angle, kp_angle, accept, best_idx)
+    keep = resolve_conflicts(best_idx, best, accept, kp_xy.shape[0])
+    return Matches(best_idx.astype(jnp.int32), best, keep)
+
+
+def search_for_initialization(
+    kp1_xy, kp1_level, kp1_desc, kp1_valid, kp1_angle,
+    kp2_xy, kp2_level, kp2_desc, kp2_valid, kp2_angle,
+    window: float = 100.0, nn_ratio: float = 0.9, check_rotation: bool = True,
+):
+    """Monocular-initialization wide-window search
+    (`ORBmatcher::SearchForInitialization`, `src/ORBmatcher.cc:580-759`):
+    level-0 only, TH_LOW, best/second ratio, rotation histogram."""
+    win = (jnp.abs(kp1_xy[:, None, 0] - kp2_xy[None, :, 0]) < window) & (
+        jnp.abs(kp1_xy[:, None, 1] - kp2_xy[None, :, 1]) < window
+    )
+    lvl_ok = (kp1_level[:, None] == 0) & (kp2_level[None, :] == 0)
+    cand = win & lvl_ok & kp1_valid[:, None] & kp2_valid[None, :]
+
+    dist = hamming_matrix(kp1_desc, kp2_desc)
+    best, best_idx, second = best_two(dist, cand)
+    accept = (best <= TH_LOW) & (best < nn_ratio * second) & kp1_valid
+    if check_rotation:
+        accept = rotation_consistency(kp1_angle, kp2_angle, accept, best_idx)
+    keep = resolve_conflicts(best_idx, best, accept, kp2_xy.shape[0])
+    return Matches(best_idx.astype(jnp.int32), best, keep)
+
+
+def search_by_node(
+    node_a, desc_a, valid_a, angle_a,
+    node_b, desc_b, valid_b, angle_b,
+    nn_ratio: float = 0.7, check_rotation: bool = True, max_dist: int = TH_LOW,
+):
+    """BoW-bucket matching (`ORBmatcher::SearchByBoW`, `src/ORBmatcher.cc:255-579`):
+    the FeatureVector's level-4 node buckets become an equality mask on
+    per-feature vocabulary node ids."""
+    cand = (node_a[:, None] == node_b[None, :]) & (node_a[:, None] >= 0)
+    cand = cand & valid_a[:, None] & valid_b[None, :]
+    dist = hamming_matrix(desc_a, desc_b)
+    best, best_idx, second = best_two(dist, cand)
+    accept = (best <= max_dist) & (best < nn_ratio * second) & valid_a
+    if check_rotation:
+        accept = rotation_consistency(angle_a, angle_b, accept, best_idx)
+    keep = resolve_conflicts(best_idx, best, accept, desc_b.shape[0])
+    return Matches(best_idx.astype(jnp.int32), best, keep)
