@@ -1,0 +1,98 @@
+"""Motion-only bundle adjustment (pose optimization).
+
+Device LM replacing `Optimizer::PoseOptimization` (`src/Optimizer.cc:375-622`):
+unary reprojection edges on one SE3 vertex, Huber kernel
+(delta = sqrt(5.991) mono / sqrt(7.815) stereo), information scaled by
+1/sigma^2 of the keypoint octave, and the reference's schedule of 4 rounds x
+10 iterations with chi2(0.95) inlier re-classification between rounds and the
+robust kernel dropped for the last two rounds (`src/Optimizer.cc:531-611`).
+
+The whole solve is one jitted fixed-shape computation: E edges (padded,
+masked), 6x6 normal equations, LM damping loop via lax.fori_loop.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry import se3
+from ..geometry.camera import Camera
+from . import reproj
+
+
+class PoseOptResult(NamedTuple):
+    Tcw: jnp.ndarray        # (4,4)
+    inliers: jnp.ndarray    # (E,) bool — final chi2 classification
+    n_inliers: jnp.ndarray  # () int32
+    chi2: jnp.ndarray       # (E,) float32
+
+
+def _build_normal_eqs(cam, Tcw, Xw, obs, comp_stereo, inv_sigma2, weight_mask,
+                      robust: bool):
+    e, pc, comp_w = reproj.project_residual(cam, Tcw, Xw, obs, comp_stereo)
+    depth_ok = pc[..., 2] > 1e-6
+    J, _ = reproj.pose_point_jacobians(cam, Tcw, pc)
+    chi2 = reproj.edge_chi2(e, comp_w, inv_sigma2)
+    delta2 = jnp.where(comp_stereo, reproj.CHI2_STEREO, reproj.CHI2_MONO)
+    w_rob = reproj.huber_weight(chi2, delta2) if robust else jnp.ones_like(chi2)
+    w = w_rob * inv_sigma2 * weight_mask * depth_ok
+    # Gauss-Newton normal equations for min ||e||^2 with J = de/dxi:
+    # H dx = b with H = sum w J^T diag(comp_w) J, b = -sum w J^T diag(comp_w) e
+    Jw = J * comp_w[..., None]
+    H = jnp.einsum("eci,ecj,e->ij", Jw, J, w)
+    b = -jnp.einsum("eci,ec,e->i", Jw, e, w)
+    # robust total error (g2o uses rho(chi2); for monitoring plain sum works)
+    err = jnp.sum(chi2 * weight_mask * depth_ok)
+    return H, b, err
+
+
+def _lm_rounds(cam, Tcw, Xw, obs, comp_stereo, inv_sigma2, mask, robust: bool,
+               n_iters: int):
+    """One reference 'round': n_iters LM steps at fixed inlier mask."""
+
+    def body(_, carry):
+        T, lam, prev_err = carry
+        H, b, err = _build_normal_eqs(cam, T, Xw, obs, comp_stereo, inv_sigma2,
+                                      mask, robust)
+        Hd = H + lam * jnp.diag(jnp.diag(H)) + 1e-10 * jnp.eye(6)
+        dx = jnp.linalg.solve(Hd, b)
+        T_new = se3.retract(T, dx)
+        _, _, err_new = _build_normal_eqs(cam, T_new, Xw, obs, comp_stereo,
+                                          inv_sigma2, mask, robust)
+        accept = err_new < err
+        T = jnp.where(accept, T_new, T)
+        lam = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-9), jnp.minimum(lam * 4.0, 1e6))
+        return T, lam, jnp.where(accept, err_new, err)
+
+    T, _, _ = jax.lax.fori_loop(0, n_iters, body, (Tcw, jnp.float32(1e-4), jnp.float32(jnp.inf)))
+    return T
+
+
+@functools.partial(jax.jit, static_argnames=("n_rounds", "n_iters"))
+def optimize_pose(cam: Camera, Tcw0, Xw, obs_uvr, level, valid, level_sigma2,
+                  n_rounds: int = 4, n_iters: int = 10) -> PoseOptResult:
+    """Xw: (E,3) world points; obs_uvr: (E,3) with uR = -1 for mono edges;
+    level: (E,) keypoint octave; valid: (E,) edge mask."""
+    sigma2 = jnp.asarray(level_sigma2, dtype=jnp.float32)
+    inv_sigma2 = 1.0 / sigma2[jnp.clip(level, 0, sigma2.shape[0] - 1)]
+    comp_stereo = obs_uvr[:, 2] >= 0
+    delta2 = jnp.where(comp_stereo, reproj.CHI2_STEREO, reproj.CHI2_MONO)
+
+    Tcw = Tcw0
+    inlier = valid
+    for r in range(n_rounds):
+        robust = r < 2  # reference drops the Huber kernel after round 2
+        Tcw = _lm_rounds(cam, Tcw, Xw, obs_uvr, comp_stereo, inv_sigma2,
+                         inlier.astype(jnp.float32), robust, n_iters)
+        # re-classify ALL valid edges (outliers can come back, like g2o's
+        # computeError-on-level-1 edges)
+        e, pc, comp_w = reproj.project_residual(cam, Tcw, Xw, obs_uvr, comp_stereo)
+        chi2 = reproj.edge_chi2(e, comp_w, inv_sigma2)
+        inlier = valid & (chi2 <= delta2) & (pc[..., 2] > 0)
+
+    return PoseOptResult(Tcw=Tcw, inliers=inlier,
+                         n_inliers=jnp.sum(inlier.astype(jnp.int32)),
+                         chi2=chi2)
