@@ -1,0 +1,390 @@
+"""The map as a fixed-capacity structure-of-arrays pytree.
+
+TPU-native replacement for the reference's pointer graph — Map, KeyFrame,
+MapPoint with their ~15 mutexes (`include/Map.h:42-163`,
+`include/KeyFrame.h:291-435`, `include/MapPoint.h:231-331`). Design rules:
+
+- capacities are static (config.max_keyframes K, max_map_points P,
+  max_keypoints N); every entity has a validity mask; "delete" = clear bit.
+- the observation graph is stored once, keyframe-major: `kf_obs[k, i]` is the
+  map-point id seen by feature i of keyframe k (-1 = none). Point-major views
+  (needed for distinctive descriptors, normals, culling) are derived on
+  demand by one sort over the flat incidence (`point_observations`).
+- covisibility is a dense (K,K) int32 matrix of shared-point counts —
+  O(K^2) memory buys O(1) covisible-set queries as pure array ops
+  (`KeyFrame::UpdateConnections`, `src/KeyFrame.cc:411-533`, becomes one
+  gather + scatter row update).
+- all mutation functions are pure: MapState in, MapState out; the pipeline
+  commits a new snapshot per stage, which replaces the reference's
+  `mMutexMapUpdate` single-writer protocol (SURVEY §2.3 P4).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+INVALID = -1
+
+
+class MapState(NamedTuple):
+    # --- keyframes ---
+    kf_pose: jnp.ndarray       # (K,4,4) f32 Tcw
+    kf_valid: jnp.ndarray      # (K,) bool
+    kf_frame_id: jnp.ndarray   # (K,) i32 source frame index
+    kf_timestamp: jnp.ndarray  # (K,) f32
+    # --- per-keyframe features ---
+    kf_xy: jnp.ndarray         # (K,N,2) f32 undistorted pixel coords
+    kf_level: jnp.ndarray      # (K,N) i32
+    kf_angle: jnp.ndarray      # (K,N) f32 degrees
+    kf_desc: jnp.ndarray       # (K,N,8) u32
+    kf_ur: jnp.ndarray         # (K,N) f32 stereo right x (-1 mono)
+    kf_depth: jnp.ndarray      # (K,N) f32 stereo depth (-1 none)
+    kf_feat_valid: jnp.ndarray # (K,N) bool
+    kf_obs: jnp.ndarray        # (K,N) i32 -> point id or -1
+    # --- map points ---
+    pt_pos: jnp.ndarray        # (P,3) f32 world
+    pt_valid: jnp.ndarray      # (P,) bool
+    pt_desc: jnp.ndarray       # (P,8) u32 distinctive descriptor
+    pt_normal: jnp.ndarray     # (P,3) f32 mean viewing direction
+    pt_min_dist: jnp.ndarray   # (P,) f32 scale-invariance band
+    pt_max_dist: jnp.ndarray   # (P,) f32
+    pt_ref_kf: jnp.ndarray     # (P,) i32
+    pt_first_kf: jnp.ndarray   # (P,) i32 creation keyframe (culling window)
+    pt_visible: jnp.ndarray    # (P,) i32 mnVisible counter
+    pt_found: jnp.ndarray      # (P,) i32 mnFound counter
+    # --- graphs ---
+    covis: jnp.ndarray         # (K,K) i32 shared-point counts
+    parent: jnp.ndarray        # (K,) i32 spanning-tree parent (-1 root)
+    # --- counters ---
+    next_kf: jnp.ndarray       # () i32 — high-water mark for kf ids
+    next_pt: jnp.ndarray       # () i32
+
+    @property
+    def n_keyframes(self):
+        return jnp.sum(self.kf_valid.astype(jnp.int32))
+
+    @property
+    def n_points(self):
+        return jnp.sum(self.pt_valid.astype(jnp.int32))
+
+    @property
+    def capacity_kf(self):
+        return self.kf_valid.shape[0]
+
+    @property
+    def capacity_pt(self):
+        return self.pt_valid.shape[0]
+
+    @property
+    def n_feat(self):
+        return self.kf_obs.shape[1]
+
+
+def empty(max_keyframes: int, max_points: int, max_keypoints: int) -> MapState:
+    K, P, N = max_keyframes, max_points, max_keypoints
+    f = jnp.zeros
+    return MapState(
+        kf_pose=jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (K, 4, 4)).copy(),
+        kf_valid=f((K,), bool),
+        kf_frame_id=jnp.full((K,), INVALID, jnp.int32),
+        kf_timestamp=f((K,), jnp.float32),
+        kf_xy=f((K, N, 2), jnp.float32),
+        kf_level=f((K, N), jnp.int32),
+        kf_angle=f((K, N), jnp.float32),
+        kf_desc=f((K, N, 8), jnp.uint32),
+        kf_ur=jnp.full((K, N), -1.0, jnp.float32),
+        kf_depth=jnp.full((K, N), -1.0, jnp.float32),
+        kf_feat_valid=f((K, N), bool),
+        kf_obs=jnp.full((K, N), INVALID, jnp.int32),
+        pt_pos=f((P, 3), jnp.float32),
+        pt_valid=f((P,), bool),
+        pt_desc=f((P, 8), jnp.uint32),
+        pt_normal=f((P, 3), jnp.float32),
+        pt_min_dist=f((P,), jnp.float32),
+        pt_max_dist=f((P,), jnp.float32),
+        pt_ref_kf=jnp.full((P,), INVALID, jnp.int32),
+        pt_first_kf=jnp.full((P,), INVALID, jnp.int32),
+        pt_visible=f((P,), jnp.int32),
+        pt_found=f((P,), jnp.int32),
+        covis=f((K, K), jnp.int32),
+        parent=jnp.full((K,), INVALID, jnp.int32),
+        next_kf=jnp.zeros((), jnp.int32),
+        next_pt=jnp.zeros((), jnp.int32),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Keyframe insertion
+# ---------------------------------------------------------------------------
+
+def add_keyframe(m: MapState, pose, xy, level, angle, desc, ur, depth,
+                 feat_valid, obs, frame_id, timestamp):
+    """Insert a keyframe into the first free slot. obs: (N,) point ids already
+    matched by tracking (-1 for none). Returns (map, kf_id)."""
+    slot = jnp.argmin(m.kf_valid)  # first False; if full, slot 0 (caller guards)
+    m = m._replace(
+        kf_pose=m.kf_pose.at[slot].set(pose),
+        kf_valid=m.kf_valid.at[slot].set(True),
+        kf_frame_id=m.kf_frame_id.at[slot].set(frame_id),
+        kf_timestamp=m.kf_timestamp.at[slot].set(timestamp),
+        kf_xy=m.kf_xy.at[slot].set(xy),
+        kf_level=m.kf_level.at[slot].set(level),
+        kf_angle=m.kf_angle.at[slot].set(angle),
+        kf_desc=m.kf_desc.at[slot].set(desc),
+        kf_ur=m.kf_ur.at[slot].set(ur),
+        kf_depth=m.kf_depth.at[slot].set(depth),
+        kf_feat_valid=m.kf_feat_valid.at[slot].set(feat_valid),
+        kf_obs=m.kf_obs.at[slot].set(jnp.where(feat_valid, obs, INVALID)),
+        next_kf=m.next_kf + 1,
+    )
+    return m, slot
+
+
+def point_indicator(m: MapState, kf_id):
+    """(P,) float indicator of points observed by kf_id."""
+    obs = m.kf_obs[kf_id]
+    ind = jnp.zeros((m.capacity_pt,), jnp.int32).at[
+        jnp.clip(obs, 0, m.capacity_pt - 1)
+    ].max(jnp.where(obs >= 0, 1, 0))
+    return ind
+
+
+def update_connections(m: MapState, kf_id):
+    """Recompute covisibility weights of kf_id vs all keyframes and set the
+    spanning-tree parent (best covisible among earlier KFs), mirroring
+    `KeyFrame::UpdateConnections` (`src/KeyFrame.cc:411-533`): weights below
+    th=15 are kept in the matrix (queries threshold as needed); parent set
+    once (first call with nonzero weights)."""
+    ind = point_indicator(m, kf_id)                            # (P,)
+    looked = ind[jnp.clip(m.kf_obs, 0, m.capacity_pt - 1)]     # (K,N)
+    looked = jnp.where(m.kf_obs >= 0, looked, 0)
+    w = jnp.sum(looked, axis=1).astype(jnp.int32)              # (K,)
+    w = jnp.where(m.kf_valid, w, 0)
+    w = w.at[kf_id].set(0)
+    covis = m.covis.at[kf_id, :].set(w)
+    covis = covis.at[:, kf_id].set(w)
+
+    # spanning-tree parent: highest-weight earlier keyframe, set once
+    earlier = m.kf_frame_id < m.kf_frame_id[kf_id]
+    w_earlier = jnp.where(earlier & m.kf_valid, w, -1)
+    best = jnp.argmax(w_earlier)
+    has_parent = m.parent[kf_id] >= 0
+    new_parent = jnp.where(
+        has_parent, m.parent[kf_id],
+        jnp.where(w_earlier[best] > 0, best, INVALID),
+    )
+    return m._replace(covis=covis, parent=m.parent.at[kf_id].set(new_parent))
+
+
+def covisible_keyframes(m: MapState, kf_id, k: int, min_weight: int = 1):
+    """Top-k covisible keyframe ids of kf_id (fixed size k, -1 padded)."""
+    w = jnp.where(m.kf_valid, m.covis[kf_id], 0)
+    vals, idx = jax.lax.top_k(w, k)
+    return jnp.where(vals >= min_weight, idx, INVALID), vals
+
+
+# ---------------------------------------------------------------------------
+# Point insertion / removal
+# ---------------------------------------------------------------------------
+
+def allocate_points(m: MapState, want_mask):
+    """Find free point slots for each True in want_mask (B,). Returns (B,)
+    slot ids (-1 if map full)."""
+    free = ~m.pt_valid
+    free_slots = jnp.argsort(~free)                   # free first
+    n_free = jnp.sum(free.astype(jnp.int32))
+    order = jnp.cumsum(want_mask.astype(jnp.int32)) - 1   # rank among wanted
+    slot = jnp.where(
+        want_mask & (order < n_free),
+        free_slots[jnp.clip(order, 0, m.capacity_pt - 1)],
+        INVALID,
+    )
+    return slot
+
+
+def add_points(m: MapState, slots, pos, desc, ref_kf, first_kf):
+    """Write point data into pre-allocated slots (B,). slots<0 are skipped
+    (scattered out of range and dropped)."""
+    ok = slots >= 0
+    si = jnp.where(ok, slots, m.capacity_pt)  # out-of-range -> dropped
+    upd = lambda arr, val: arr.at[si].set(val, mode="drop")
+    return m._replace(
+        pt_pos=upd(m.pt_pos, pos),
+        pt_desc=upd(m.pt_desc, desc),
+        pt_valid=m.pt_valid.at[si].set(True, mode="drop"),
+        pt_ref_kf=upd(m.pt_ref_kf, jnp.broadcast_to(ref_kf, slots.shape)),
+        pt_first_kf=upd(m.pt_first_kf, jnp.broadcast_to(first_kf, slots.shape)),
+        pt_visible=m.pt_visible.at[si].set(1, mode="drop"),
+        pt_found=m.pt_found.at[si].set(1, mode="drop"),
+        next_pt=m.next_pt + jnp.sum(ok.astype(jnp.int32)),
+    )
+
+
+def bind_observations(m: MapState, kf_id, feat_idx, point_ids, mask):
+    """Set kf_obs[kf_id, feat_idx[b]] = point_ids[b] where mask."""
+    fi = jnp.where(mask, feat_idx, m.n_feat)  # masked-out -> dropped
+    row = m.kf_obs[kf_id]
+    row = row.at[fi].set(point_ids, mode="drop")
+    return m._replace(kf_obs=m.kf_obs.at[kf_id].set(row))
+
+
+def erase_points(m: MapState, point_mask):
+    """Invalidate points where point_mask (P,) — `MapPoint::SetBadFlag`
+    (`src/MapPoint.cc`): clears every observation referencing them."""
+    kill = point_mask & m.pt_valid
+    obs_clear = kill[jnp.clip(m.kf_obs, 0, m.capacity_pt - 1)] & (m.kf_obs >= 0)
+    return m._replace(
+        pt_valid=m.pt_valid & ~kill,
+        kf_obs=jnp.where(obs_clear, INVALID, m.kf_obs),
+    )
+
+
+def replace_points(m: MapState, mapping):
+    """Point fusion — `MapPoint::Replace`: mapping (P,) gives for each point
+    either itself or the id it is replaced by. Observations are redirected;
+    where a keyframe already observes the replacement, the duplicate slot is
+    cleared. Replaced points become invalid."""
+    redirected = jnp.where(m.kf_obs >= 0,
+                           mapping[jnp.clip(m.kf_obs, 0, m.capacity_pt - 1)],
+                           INVALID)
+    # clear duplicates: if a KF row ends up observing a point twice, keep the
+    # first occurrence (lowest feature index)
+    K, N = redirected.shape
+    P = m.capacity_pt
+    fidx = jnp.broadcast_to(jnp.arange(N)[None, :], (K, N))
+    key = jnp.where(redirected >= 0, fidx, N)
+    first = jnp.full((K, P), N, jnp.int32).at[
+        jnp.arange(K)[:, None], jnp.clip(redirected, 0, P - 1)
+    ].min(key)
+    dup = (redirected >= 0) & (
+        fidx != first[jnp.arange(K)[:, None], jnp.clip(redirected, 0, P - 1)]
+    )
+    new_obs = jnp.where(dup, INVALID, redirected)
+    replaced = mapping != jnp.arange(P)
+    # accumulate found/visible like Replace does
+    add_vis = jnp.zeros((P,), jnp.int32).at[jnp.clip(mapping, 0, P - 1)].add(
+        jnp.where(replaced, m.pt_visible, 0))
+    add_fnd = jnp.zeros((P,), jnp.int32).at[jnp.clip(mapping, 0, P - 1)].add(
+        jnp.where(replaced, m.pt_found, 0))
+    return m._replace(
+        kf_obs=new_obs,
+        pt_valid=m.pt_valid & ~replaced,
+        pt_visible=m.pt_visible + add_vis,
+        pt_found=m.pt_found + add_fnd,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Derived point-major views
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("max_obs",))
+def point_observations(m: MapState, max_obs: int = 16):
+    """Build point-major observation lists from kf_obs by sorting the flat
+    incidence: returns (obs_kf, obs_feat, obs_valid), each (P, max_obs).
+    Points with more than max_obs observations keep the first max_obs by
+    (kf, feat) order."""
+    K, N = m.kf_obs.shape
+    P = m.capacity_pt
+    flat_pt = m.kf_obs.reshape(-1)
+    flat_kf = jnp.repeat(jnp.arange(K, dtype=jnp.int32), N)
+    flat_ft = jnp.tile(jnp.arange(N, dtype=jnp.int32), K)
+    sort_key = jnp.where(flat_pt >= 0, flat_pt, P)
+    order = jnp.argsort(sort_key, stable=True)
+    sp = sort_key[order]
+    sk = flat_kf[order]
+    sf = flat_ft[order]
+    # position within the segment of equal point id
+    seg_start = jnp.searchsorted(sp, jnp.arange(P), side="left")
+    pos = jnp.arange(K * N) - seg_start[jnp.clip(sp, 0, P - 1)]
+    keep = (sp < P) & (pos < max_obs)
+    ridx = jnp.clip(sp, 0, P - 1)
+    cidx = jnp.clip(pos, 0, max_obs - 1)
+    # masked scatter: rows for dropped entries routed out of range
+    obs_kf = jnp.full((P, max_obs), INVALID, jnp.int32).at[
+        jnp.where(keep, ridx, P), jnp.where(keep, cidx, 0)
+    ].set(sk, mode="drop")
+    obs_ft = jnp.full((P, max_obs), INVALID, jnp.int32).at[
+        jnp.where(keep, ridx, P), jnp.where(keep, cidx, 0)
+    ].set(sf, mode="drop")
+    return obs_kf, obs_ft, obs_kf >= 0
+
+
+def count_observations(m: MapState):
+    """(P,) observation count weighted like nObs: +1 mono, +2 stereo
+    (`MapPoint::AddObservation`, `include/MapPoint.h:116-130`)."""
+    P = m.capacity_pt
+    w = jnp.where(m.kf_ur >= 0, 2, 1)
+    cnt = jnp.zeros((P,), jnp.int32).at[
+        jnp.where(m.kf_obs >= 0, m.kf_obs, P)
+    ].add(jnp.where(m.kf_obs >= 0, w, 0), mode="drop")
+    return cnt
+
+
+def update_point_descriptors(m: MapState, point_mask, max_obs: int = 16):
+    """Distinctive descriptor = min-median-Hamming among observations
+    (`MapPoint::ComputeDistinctiveDescriptors`). Batched for points in mask."""
+    obs_kf, obs_ft, obs_ok = point_observations(m, max_obs)
+    kfc = jnp.clip(obs_kf, 0, m.capacity_kf - 1)
+    ftc = jnp.clip(obs_ft, 0, m.n_feat - 1)
+    descs = m.kf_desc[kfc, ftc]                        # (P, O, 8)
+    x = jnp.bitwise_xor(descs[:, :, None, :], descs[:, None, :, :])
+    dist = jnp.sum(jax.lax.population_count(x), axis=-1).astype(jnp.int32)  # (P,O,O)
+    pair_ok = obs_ok[:, :, None] & obs_ok[:, None, :]
+    dist = jnp.where(pair_ok, dist, 512)
+    # median distance per candidate row (among valid obs)
+    srt = jnp.sort(dist, axis=-1)
+    n_obs = jnp.sum(obs_ok, axis=-1)
+    med_idx = jnp.clip((n_obs[:, None] - 1) // 2, 0, max_obs - 1)
+    med = jnp.take_along_axis(srt, med_idx[:, :, None], axis=-1)[..., 0]  # (P,O)
+    med = jnp.where(obs_ok, med, 1 << 20)
+    best = jnp.argmin(med, axis=-1)                    # (P,)
+    new_desc = descs[jnp.arange(m.capacity_pt), best]
+    use = point_mask & m.pt_valid & (n_obs > 0)
+    return m._replace(pt_desc=jnp.where(use[:, None], new_desc, m.pt_desc))
+
+
+def update_point_normals(m: MapState, point_mask, scale_factors, max_obs: int = 16):
+    """Mean viewing direction + scale-invariance distance band
+    (`MapPoint::UpdateNormalAndDepth`, `src/MapPoint.cc`)."""
+    from ..geometry import se3
+
+    obs_kf, obs_ft, obs_ok = point_observations(m, max_obs)
+    kfc = jnp.clip(obs_kf, 0, m.capacity_kf - 1)
+    Twc = se3.inverse(m.kf_pose)
+    centers = se3.translation(Twc)                     # (K,3) camera centers
+    cam_of_obs = centers[kfc]                          # (P,O,3)
+    d = m.pt_pos[:, None, :] - cam_of_obs
+    d = d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-9)
+    n_obs = jnp.maximum(jnp.sum(obs_ok, axis=-1), 1)
+    normal = jnp.sum(jnp.where(obs_ok[..., None], d, 0.0), axis=1) / n_obs[:, None]
+
+    sf = jnp.asarray(scale_factors, jnp.float32)
+    n_levels = sf.shape[0]
+    ref = jnp.clip(m.pt_ref_kf, 0, m.capacity_kf - 1)
+    dist_ref = jnp.linalg.norm(m.pt_pos - centers[ref], axis=-1)
+    # level of the observing feature in the ref keyframe: find the obs whose
+    # kf == ref (first match), else level 0
+    is_ref = obs_ok & (obs_kf == m.pt_ref_kf[:, None])
+    ftc = jnp.clip(obs_ft, 0, m.n_feat - 1)
+    levels = m.kf_level[kfc, ftc]
+    ref_level = jnp.max(jnp.where(is_ref, levels, 0), axis=-1)
+    level_sf = sf[jnp.clip(ref_level, 0, n_levels - 1)]
+    max_dist = dist_ref * level_sf
+    min_dist = max_dist / sf[n_levels - 1]
+    use = point_mask & m.pt_valid
+    return m._replace(
+        pt_normal=jnp.where(use[:, None], normal, m.pt_normal),
+        pt_max_dist=jnp.where(use, max_dist, m.pt_max_dist),
+        pt_min_dist=jnp.where(use, min_dist, m.pt_min_dist),
+    )
+
+
+def predict_scale(m: MapState, dist, log_scale_factor: float, n_levels: int):
+    """`MapPoint::PredictScale` (`src/MapPoint.cc`): level from distance ratio."""
+    ratio = m.pt_max_dist / jnp.maximum(dist, 1e-9)
+    lvl = jnp.ceil(jnp.log(jnp.maximum(ratio, 1e-9)) / log_scale_factor)
+    return jnp.clip(lvl.astype(jnp.int32), 0, n_levels - 1)

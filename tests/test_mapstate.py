@@ -1,0 +1,171 @@
+import numpy as np
+import jax.numpy as jnp
+
+from orb_slam2_tpu.mapstate import map as mapstate
+from orb_slam2_tpu.geometry import se3
+
+K, P, N = 8, 64, 32
+SCALE_FACTORS = [1.2 ** i for i in range(8)]
+
+
+def blank_frame(rng, n_feat=N):
+    return dict(
+        xy=rng.uniform(0, 640, size=(n_feat, 2)).astype(np.float32),
+        level=rng.integers(0, 8, n_feat).astype(np.int32),
+        angle=rng.uniform(0, 360, n_feat).astype(np.float32),
+        desc=rng.integers(0, 2**32, size=(n_feat, 8), dtype=np.uint32),
+        ur=-np.ones(n_feat, np.float32),
+        depth=-np.ones(n_feat, np.float32),
+        feat_valid=np.ones(n_feat, bool),
+    )
+
+
+def add_kf(m, rng, pose=None, obs=None, frame_id=0):
+    f = blank_frame(rng)
+    if pose is None:
+        pose = np.eye(4, dtype=np.float32)
+    if obs is None:
+        obs = np.full(N, -1, np.int32)
+    return mapstate.add_keyframe(
+        m, jnp.asarray(pose), jnp.asarray(f["xy"]), jnp.asarray(f["level"]),
+        jnp.asarray(f["angle"]), jnp.asarray(f["desc"]), jnp.asarray(f["ur"]),
+        jnp.asarray(f["depth"]), jnp.asarray(f["feat_valid"]), jnp.asarray(obs),
+        frame_id, 0.0)
+
+
+class TestMapState:
+    def test_add_keyframe(self, rng):
+        m = mapstate.empty(K, P, N)
+        m, k0 = add_kf(m, rng, frame_id=0)
+        m, k1 = add_kf(m, rng, frame_id=1)
+        assert int(m.n_keyframes) == 2
+        assert int(k0) == 0 and int(k1) == 1
+
+    def test_point_allocation_and_binding(self, rng):
+        m = mapstate.empty(K, P, N)
+        m, k0 = add_kf(m, rng)
+        want = np.zeros(16, bool)
+        want[:10] = True
+        slots = mapstate.allocate_points(m, jnp.asarray(want))
+        s = np.asarray(slots)
+        assert (s[:10] >= 0).all() and (s[10:] == -1).all()
+        assert len(np.unique(s[:10])) == 10
+        pos = rng.normal(size=(16, 3)).astype(np.float32)
+        desc = rng.integers(0, 2**32, size=(16, 8), dtype=np.uint32)
+        m = mapstate.add_points(m, slots, jnp.asarray(pos), jnp.asarray(desc), k0, k0)
+        assert int(m.n_points) == 10
+        # bind first 10 features of kf0 to these points
+        m = mapstate.bind_observations(
+            m, k0, jnp.arange(16), slots, jnp.asarray(want))
+        obs = np.asarray(m.kf_obs[0])
+        assert (obs[:10] == s[:10]).all()
+        assert (obs[10:] == -1).all()
+
+    def test_covisibility(self, rng):
+        m = mapstate.empty(K, P, N)
+        m, k0 = add_kf(m, rng, frame_id=0)
+        m, k1 = add_kf(m, rng, frame_id=1)
+        m, k2 = add_kf(m, rng, frame_id=2)
+        want = np.zeros(20, bool); want[:20] = True
+        slots = mapstate.allocate_points(m, jnp.asarray(want))
+        pos = rng.normal(size=(20, 3)).astype(np.float32)
+        desc = rng.integers(0, 2**32, size=(20, 8), dtype=np.uint32)
+        m = mapstate.add_points(m, slots, jnp.asarray(pos), jnp.asarray(desc), k0, k0)
+        # kf0 sees pts 0..19, kf1 sees 0..11, kf2 sees 8..19
+        m = mapstate.bind_observations(m, k0, jnp.arange(20), slots, jnp.ones(20, bool))
+        m = mapstate.bind_observations(m, k1, jnp.arange(20), slots, jnp.asarray(np.arange(20) < 12))
+        m = mapstate.bind_observations(m, k2, jnp.arange(20), slots, jnp.asarray(np.arange(20) >= 8))
+        m = mapstate.update_connections(m, k1)
+        m = mapstate.update_connections(m, k2)
+        covis = np.asarray(m.covis)
+        assert covis[1, 0] == 12 and covis[0, 1] == 12
+        assert covis[2, 0] == 12
+        assert covis[2, 1] == 4  # overlap 8..11
+        # spanning parents: k1 -> k0 (best earlier), k2 -> k0
+        assert int(m.parent[1]) == 0
+        assert int(m.parent[2]) == 0
+        ids, w = mapstate.covisible_keyframes(m, 2, 4)
+        assert int(ids[0]) == 0 and int(w[0]) == 12
+
+    def test_point_observations_roundtrip(self, rng):
+        m = mapstate.empty(K, P, N)
+        m, k0 = add_kf(m, rng, frame_id=0)
+        m, k1 = add_kf(m, rng, frame_id=1)
+        want = np.ones(5, bool)
+        slots = mapstate.allocate_points(m, jnp.asarray(want))
+        pos = rng.normal(size=(5, 3)).astype(np.float32)
+        desc = rng.integers(0, 2**32, size=(5, 8), dtype=np.uint32)
+        m = mapstate.add_points(m, slots, jnp.asarray(pos), jnp.asarray(desc), k0, k0)
+        m = mapstate.bind_observations(m, k0, jnp.asarray([3, 4, 5, 6, 7]), slots, jnp.ones(5, bool))
+        m = mapstate.bind_observations(m, k1, jnp.asarray([10, 11]), slots[:2], jnp.ones(2, bool))
+        obs_kf, obs_ft, ok = mapstate.point_observations(m, max_obs=4)
+        s = np.asarray(slots)
+        okf, oft, ook = np.asarray(obs_kf), np.asarray(obs_ft), np.asarray(ok)
+        # point s[0] observed by kf0 feat3 and kf1 feat10
+        assert set(map(tuple, np.stack([okf[s[0]][ook[s[0]]], oft[s[0]][ook[s[0]]]], -1))) == {(0, 3), (1, 10)}
+        assert set(map(tuple, np.stack([okf[s[2]][ook[s[2]]], oft[s[2]][ook[s[2]]]], -1))) == {(0, 5)}
+        cnt = np.asarray(mapstate.count_observations(m))
+        assert cnt[s[0]] == 2 and cnt[s[2]] == 1
+
+    def test_erase_points(self, rng):
+        m = mapstate.empty(K, P, N)
+        m, k0 = add_kf(m, rng)
+        slots = mapstate.allocate_points(m, jnp.ones(4, dtype=bool))
+        pos = rng.normal(size=(4, 3)).astype(np.float32)
+        desc = rng.integers(0, 2**32, size=(4, 8), dtype=np.uint32)
+        m = mapstate.add_points(m, slots, jnp.asarray(pos), jnp.asarray(desc), k0, k0)
+        m = mapstate.bind_observations(m, k0, jnp.arange(4), slots, jnp.ones(4, bool))
+        kill = np.zeros(P, bool)
+        kill[np.asarray(slots)[1]] = True
+        m = mapstate.erase_points(m, jnp.asarray(kill))
+        assert int(m.n_points) == 3
+        assert int(m.kf_obs[0, 1]) == -1
+        assert int(m.kf_obs[0, 0]) >= 0
+
+    def test_replace_points(self, rng):
+        m = mapstate.empty(K, P, N)
+        m, k0 = add_kf(m, rng, frame_id=0)
+        m, k1 = add_kf(m, rng, frame_id=1)
+        slots = mapstate.allocate_points(m, jnp.ones(2, dtype=bool))
+        pos = rng.normal(size=(2, 3)).astype(np.float32)
+        desc = rng.integers(0, 2**32, size=(2, 8), dtype=np.uint32)
+        m = mapstate.add_points(m, slots, jnp.asarray(pos), jnp.asarray(desc), k0, k0)
+        s = np.asarray(slots)
+        # kf0 observes both points at feats 0,1 ; kf1 observes point0 at feat 5
+        m = mapstate.bind_observations(m, k0, jnp.arange(2), slots, jnp.ones(2, bool))
+        m = mapstate.bind_observations(m, k1, jnp.asarray([5]), slots[:1], jnp.ones(1, bool))
+        # replace point s[1] by s[0]
+        mapping = np.arange(P, dtype=np.int32)
+        mapping[s[1]] = s[0]
+        m = mapstate.replace_points(m, jnp.asarray(mapping))
+        assert not bool(m.pt_valid[s[1]])
+        obs0 = np.asarray(m.kf_obs[0])
+        # kf0 saw both -> now sees s[0] once (duplicate cleared)
+        assert (obs0 == s[0]).sum() == 1
+        assert int(m.kf_obs[1, 5]) == s[0]
+
+    def test_update_descriptors_and_normals(self, rng):
+        m = mapstate.empty(K, P, N)
+        pose0 = np.eye(4, dtype=np.float32)
+        pose1 = np.asarray(se3.exp(jnp.asarray([0.5, 0, 0, 0, 0, 0])))
+        m, k0 = add_kf(m, rng, pose=pose0, frame_id=0)
+        m, k1 = add_kf(m, rng, pose=pose1, frame_id=1)
+        slots = mapstate.allocate_points(m, jnp.ones(3, dtype=bool))
+        pos = np.array([[0, 0, 5], [1, 0, 6], [-1, 1, 7]], np.float32)
+        desc = rng.integers(0, 2**32, size=(3, 8), dtype=np.uint32)
+        m = mapstate.add_points(m, slots, jnp.asarray(pos), jnp.asarray(desc), k0, k0)
+        m = mapstate.bind_observations(m, k0, jnp.arange(3), slots, jnp.ones(3, bool))
+        m = mapstate.bind_observations(m, k1, jnp.arange(3), slots, jnp.ones(3, bool))
+        mask = np.zeros(P, bool)
+        mask[np.asarray(slots)] = True
+        m = mapstate.update_point_descriptors(m, jnp.asarray(mask))
+        m = mapstate.update_point_normals(m, jnp.asarray(mask), SCALE_FACTORS)
+        s = np.asarray(slots)
+        # descriptor is one of the observing descs
+        d = np.asarray(m.pt_desc[s[0]])
+        obs_descs = [np.asarray(m.kf_desc[0, 0]), np.asarray(m.kf_desc[1, 0])]
+        assert any((d == od).all() for od in obs_descs)
+        # normal roughly towards -z viewing dir (cameras at origin & x=-0.5)
+        nrm = np.asarray(m.pt_normal[s[0]])
+        assert nrm[2] > 0.9
+        assert float(m.pt_max_dist[s[0]]) > 0
