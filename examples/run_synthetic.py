@@ -1,0 +1,93 @@
+"""End-to-end SLAM on the synthetic textured-plane world.
+
+The example driver for this repo (analogue of the reference's
+`Examples/RGB-D/rgbd_tum.cc` etc., with a generated dataset): runs the full
+pipeline and reports ATE RMSE against the exact generating trajectory.
+
+Usage: python examples/run_synthetic.py [--frames 30] [--sensor rgbd|mono|stereo]
+"""
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=30)
+    ap.add_argument("--sensor", default="rgbd", choices=["rgbd", "mono", "stereo"])
+    ap.add_argument("--width", type=int, default=320)
+    ap.add_argument("--height", type=int, default=240)
+    ap.add_argument("--features", type=int, default=500)
+    ap.add_argument("--step", type=float, default=0.03)
+    ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    args = ap.parse_args()
+
+    if args.cpu:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+
+    from orb_slam2_tpu.utils.config import (SlamConfig, SENSOR_MONOCULAR,
+                                            SENSOR_STEREO, SENSOR_RGBD)
+    from orb_slam2_tpu.utils.synthetic import PlaneWorld, lateral_trajectory, ate_rmse
+    from orb_slam2_tpu.pipeline.system import SlamSystem
+
+    sensor = dict(mono=SENSOR_MONOCULAR, stereo=SENSOR_STEREO, rgbd=SENSOR_RGBD)[args.sensor]
+    fx = fy = 300.0
+    cx, cy = args.width / 2, args.height / 2
+    baseline = 0.1
+    cfg = SlamConfig(
+        fx=fx, fy=fy, cx=cx, cy=cy, width=args.width, height=args.height,
+        n_features=args.features, bf=fx * baseline if sensor != SENSOR_MONOCULAR else 0.0,
+        sensor=sensor, fps=10.0, th_depth=40.0,
+        max_keyframes=64, max_map_points=1 << 14,
+        ba_local_cams=16, ba_fixed_cams=16, ba_max_points=1 << 11, ba_max_obs=8,
+        max_local_keyframes=32, max_local_points=1 << 12,
+    )
+    world = PlaneWorld(fx, fy, cx, cy, args.width, args.height, z0=5.0)
+    gt = lateral_trajectory(args.frames, step=args.step, yaw_rate=0.004)
+
+    sys_ = SlamSystem(cfg)
+    times = []
+    est = {}
+    for i, T_wc in enumerate(gt):
+        t0 = time.time()
+        if sensor == SENSOR_RGBD:
+            img, depth = world.render_with_depth(T_wc)
+            Tcw = sys_.track_rgbd(img, depth, i * 0.1)
+        elif sensor == SENSOR_STEREO:
+            img = world.render(T_wc)
+            T_right = T_wc.copy()
+            T_right[:3, 3] += T_wc[:3, :3] @ np.array([baseline, 0, 0])
+            img_r = world.render(T_right)
+            Tcw = sys_.track_stereo(img, img_r, i * 0.1)
+        else:
+            img = world.render(T_wc)
+            Tcw = sys_.track_monocular(img, i * 0.1)
+        dt = time.time() - t0
+        times.append(dt)
+        state = sys_.metrics[-1] if sys_.metrics else {}
+        print(f"frame {i:3d}  {dt*1000:7.1f} ms  tracked={Tcw is not None} "
+              f"inliers={state.get('inliers', '-')} kf={state.get('n_kf', '-')} "
+              f"pts={state.get('n_pts', '-')}")
+
+    traj = sys_.get_trajectory()
+    print(f"\ntracked {len(traj)}/{args.frames} frames; "
+          f"median frame time {np.median(times[2:])*1000:.1f} ms")
+    if len(traj) >= args.frames * 0.9:
+        est_poses = [T for _, T in traj]
+        gt_poses = [gt[int(round(ts * 10))] for ts, _ in traj]
+        scale = sensor == SENSOR_MONOCULAR
+        rmse = ate_rmse(est_poses, gt_poses, with_scale=scale)
+        print(f"ATE RMSE: {rmse*100:.2f} cm over {args.step*(args.frames-1):.2f} m trajectory")
+        return rmse
+    print("TRACKING FAILED")
+    return None
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,494 @@
+"""Jitted building blocks of local mapping.
+
+Device-side pieces of `LocalMapping::Run` (`src/LocalMapping.cc:71-159`):
+keyframe insertion with depth-seeded point creation, recent-point culling,
+epipolar triangulation of new points against covisible neighbors, two-way
+fusion, local BA wiring, and keyframe culling. The reference runs these on
+thread 2; here they are pure MapState -> MapState functions the System calls
+in a deterministic staged schedule.
+"""
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry import se3
+from ..mapstate import map as mapstate
+from ..ops import matching
+from ..solvers import schur_ba
+from ..utils.config import SlamConfig, SENSOR_MONOCULAR
+from .frame import FrameData
+
+INVALID = -1
+
+
+# ---------------------------------------------------------------------------
+# Keyframe insertion (Tracking::CreateNewKeyFrame, src/Tracking.cc:1638-1739)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("cfg", "all_depth"))
+def insert_keyframe(cfg: SlamConfig, m: mapstate.MapState, cur: FrameData,
+                    Tcw, matched_pt, frame_id, timestamp,
+                    all_depth: bool = False):
+    """Insert the current frame as a keyframe. matched_pt: (N,) map-point ids
+    from tracking. For stereo/RGBD, unmatched features with depth spawn new
+    map points: all closer than ThDepth*baseline, and if fewer than 100, the
+    100 nearest (`src/Tracking.cc:1675-1739`). With all_depth (the
+    StereoInitialization case, `src/Tracking.cc:774-860`) every depth
+    measurement spawns a point."""
+    cam = cfg.camera()
+    m, kf_id = mapstate.add_keyframe(
+        m, Tcw, cur.xy, cur.level, cur.angle, cur.desc, cur.ur, cur.depth,
+        cur.valid, matched_pt, frame_id, timestamp)
+
+    if cfg.sensor != SENSOR_MONOCULAR:
+        eligible = cur.valid & (cur.depth > 0) & (matched_pt < 0)
+        close = cur.depth < cfg.th_depth * cfg.baseline
+        depth_key = jnp.where(eligible, cur.depth, jnp.inf)
+        order = jnp.argsort(depth_key)
+        rank = jnp.zeros_like(matched_pt).at[order].set(
+            jnp.arange(matched_pt.shape[0], dtype=jnp.int32))
+        if all_depth:
+            create = eligible
+        else:
+            create = eligible & (close | (rank < 100))
+
+        # unproject via the undistorted coords + depth
+        z = jnp.maximum(cur.depth, 1e-6)
+        x = (cur.xy[:, 0] - cam.cx) / cam.fx * z
+        y = (cur.xy[:, 1] - cam.cy) / cam.fy * z
+        pc = jnp.stack([x, y, z], axis=-1)
+        Twc = se3.inverse(Tcw)
+        pw = se3.apply(Twc, pc)
+
+        slots = mapstate.allocate_points(m, create)
+        m = mapstate.add_points(m, slots, pw, cur.desc, kf_id, m.next_kf - 1)
+        m = mapstate.bind_observations(m, kf_id, jnp.arange(matched_pt.shape[0]),
+                                       slots, create & (slots >= 0))
+
+    m = mapstate.update_connections(m, kf_id)
+    bound = m.kf_obs[kf_id]
+    mask = jnp.zeros((m.capacity_pt,), bool).at[
+        jnp.where(bound >= 0, bound, m.capacity_pt)].set(True, mode="drop")
+    m = mapstate.update_point_descriptors(m, mask)
+    m = mapstate.update_point_normals(m, mask, cfg.scale_factors)
+    return m, kf_id
+
+
+# ---------------------------------------------------------------------------
+# Map point culling (LocalMapping::MapPointCulling, src/LocalMapping.cc:245-289)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def cull_map_points(cfg: SlamConfig, m: mapstate.MapState):
+    """Recently-created points must earn their keep: found/visible >= 0.25,
+    and >= 2 (mono) / 3 (stereo) weighted observations once 2 keyframes have
+    passed since creation."""
+    seq_now = m.next_kf - 1
+    age = seq_now - m.pt_first_kf
+    recent = m.pt_valid & (age <= 2)
+    ratio = m.pt_found.astype(jnp.float32) / jnp.maximum(
+        m.pt_visible.astype(jnp.float32), 1.0)
+    cnt = mapstate.count_observations(m)
+    th_obs = 2 if cfg.sensor == SENSOR_MONOCULAR else 3
+    bad = recent & ((ratio < 0.25) | ((age >= 2) & (cnt <= th_obs)))
+    return mapstate.erase_points(m, bad)
+
+
+# ---------------------------------------------------------------------------
+# Triangulating new points (LocalMapping::CreateNewMapPoints,
+# src/LocalMapping.cc:295-622)
+# ---------------------------------------------------------------------------
+
+def _fundamental_from_poses(cam, T1w, T2w):
+    """F12 such that x2^T F12 x1 = 0... matching ComputeF12
+    (`src/LocalMapping.cc:749-866`): F = K^-T [t12]x R12 K^-1."""
+    T12 = se3.compose(T1w, se3.inverse(T2w))
+    R12 = se3.rotation(T12)
+    t12 = se3.translation(T12)
+    K = jnp.array([[cam.fx, 0, cam.cx], [0, cam.fy, cam.cy], [0, 0, 1.0]])
+    Kinv = jnp.linalg.inv(K)
+    return Kinv.T @ se3.hat(t12) @ R12 @ Kinv
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "max_new"))
+def triangulate_with_neighbor(cfg: SlamConfig, m: mapstate.MapState,
+                              kf1, kf2, max_new: int = 256):
+    """Create new map points between keyframe kf1 (current) and covisible kf2.
+
+    Epipolar-guided matching of UNBOUND features (the reference restricts via
+    BoW buckets; here the full masked matrix with the epipolar test does the
+    same job), then parallax-gated triangulation with the reference's checks:
+    cheirality, reprojection chi2 (<5.991 sigma^2 mono / 7.815 stereo), and
+    scale-ratio consistency (`src/LocalMapping.cc:399-622`)."""
+    cam = cfg.camera()
+    N = m.n_feat
+    T1 = m.kf_pose[kf1]
+    T2 = m.kf_pose[kf2]
+
+    # baseline gate
+    O1 = se3.translation(se3.inverse(T1))
+    O2 = se3.translation(se3.inverse(T2))
+    baseline = jnp.linalg.norm(O2 - O1)
+    if cfg.sensor == SENSOR_MONOCULAR:
+        # median scene depth of kf2 (ComputeSceneMedianDepth, q=2)
+        obs2 = m.kf_obs[kf2]
+        pos = m.pt_pos[jnp.clip(obs2, 0, m.capacity_pt - 1)]
+        z2 = se3.apply(T2, pos)[:, 2]
+        z2 = jnp.where(obs2 >= 0, z2, jnp.inf)
+        z2s = jnp.sort(z2)
+        nv = jnp.sum((obs2 >= 0).astype(jnp.int32))
+        med = z2s[jnp.clip(nv // 2, 0, N - 1)]
+        baseline_ok = baseline / jnp.maximum(med, 1e-9) > 0.01
+    else:
+        baseline_ok = baseline > cfg.baseline
+
+    F12 = _fundamental_from_poses(cam, T1, T2)
+
+    # candidates: valid, unbound features on both sides
+    un1 = (m.kf_obs[kf1] < 0) & m.kf_feat_valid[kf1]
+    un2 = (m.kf_obs[kf2] < 0) & m.kf_feat_valid[kf2]
+    xy1 = m.kf_xy[kf1]
+    xy2 = m.kf_xy[kf2]
+    sigma2 = jnp.asarray(cfg.level_sigma2, jnp.float32)
+    lvl2 = jnp.clip(m.kf_level[kf2], 0, cfg.n_levels - 1)
+
+    # epipolar distance of kp2 to line F12 [kp1;1]
+    la = xy1[:, 0] * F12[0, 0] + xy1[:, 1] * F12[0, 1] + F12[0, 2]
+    lb = xy1[:, 0] * F12[1, 0] + xy1[:, 1] * F12[1, 1] + F12[1, 2]
+    lc = xy1[:, 0] * F12[2, 0] + xy1[:, 1] * F12[2, 1] + F12[2, 2]
+    num = la[:, None] * xy2[None, :, 0] + lb[:, None] * xy2[None, :, 1] + lc[:, None]
+    den = jnp.maximum(la * la + lb * lb, 1e-12)[:, None]
+    dsqr = num * num / den
+    epi_ok = dsqr < 3.84 * sigma2[lvl2][None, :]
+
+    # also require the epipole not too close to kp2 (mono degenerate case)
+    e2 = se3.apply(T2, O1)
+    ex = cam.fx * e2[0] / jnp.maximum(e2[2], 1e-9) + cam.cx
+    ey = cam.fy * e2[1] / jnp.maximum(e2[2], 1e-9) + cam.cy
+    d_epi = (xy2[:, 0] - ex) ** 2 + (xy2[:, 1] - ey) ** 2
+    sf2 = jnp.asarray(cfg.scale_factors, jnp.float32)[lvl2]
+    epi_far = d_epi >= 100.0 * sf2
+    cand = un1[:, None] & un2[None, :] & epi_ok & epi_far[None, :]
+
+    dist = matching.hamming_matrix(m.kf_desc[kf1], m.kf_desc[kf2])
+    best, best_idx, _ = matching.best_two(dist, cand)
+    accept = (best <= matching.TH_LOW) & un1
+    accept = matching.rotation_consistency(
+        m.kf_angle[kf1], m.kf_angle[kf2], accept, best_idx)
+    keep = matching.resolve_conflicts(best_idx, best, accept, N)
+
+    # --- triangulate matched pairs ---
+    i2 = jnp.clip(best_idx, 0, N - 1)
+    p1 = xy1
+    p2 = xy2[i2]
+    # rays in world frame
+    K = jnp.array([[cam.fx, 0, cam.cx], [0, cam.fy, cam.cy], [0, 0, 1.0]])
+    Kinv = jnp.linalg.inv(K)
+    r1 = (jnp.concatenate([p1, jnp.ones((N, 1))], axis=-1) @ Kinv.T)
+    r2 = (jnp.concatenate([p2, jnp.ones((N, 1))], axis=-1) @ Kinv.T)
+    R1w, R2w = se3.rotation(T1), se3.rotation(T2)
+    ray1 = r1 @ R1w  # = R1w^T r1
+    ray2 = r2 @ R2w
+    cos_par = jnp.sum(ray1 * ray2, axis=-1) / jnp.maximum(
+        jnp.linalg.norm(ray1, axis=-1) * jnp.linalg.norm(ray2, axis=-1), 1e-12)
+
+    # stereo parallax alternatives (reference uses atan2(b/2, depth))
+    d1 = m.kf_depth[kf1]
+    d2 = m.kf_depth[kf2][i2]
+    cos_stereo1 = jnp.where(d1 > 0, jnp.cos(2 * jnp.arctan2(cfg.baseline / 2, jnp.maximum(d1, 1e-6))), 2.0)
+    cos_stereo2 = jnp.where(d2 > 0, jnp.cos(2 * jnp.arctan2(cfg.baseline / 2, jnp.maximum(d2, 1e-6))), 2.0)
+    cos_stereo = jnp.minimum(cos_stereo1, cos_stereo2)
+
+    P1 = K @ T1[:3, :]
+    P2 = K @ T2[:3, :]
+    from ..geometry.triangulation import triangulate as dlt
+    X_dlt = dlt(P1, P2, p1, p2)
+    # fallback: unproject from the deeper-parallax stereo measurement
+    z1s = jnp.maximum(d1, 1e-6)
+    X_s1 = se3.apply(se3.inverse(T1), jnp.stack(
+        [(p1[:, 0] - cam.cx) / cam.fx * z1s, (p1[:, 1] - cam.cy) / cam.fy * z1s, z1s], -1))
+    z2s_ = jnp.maximum(d2, 1e-6)
+    X_s2 = se3.apply(se3.inverse(T2), jnp.stack(
+        [(p2[:, 0] - cam.cx) / cam.fx * z2s_, (p2[:, 1] - cam.cy) / cam.fy * z2s_, z2s_], -1))
+
+    good_par = (cos_par > 0) & (cos_par < 0.9998) & (cos_par < cos_stereo)
+    use_dlt = good_par
+    use_s1 = ~good_par & (cos_stereo1 < cos_stereo2) & (d1 > 0)
+    use_s2 = ~good_par & ~use_s1 & (d2 > 0)
+    X = jnp.where(use_dlt[:, None], X_dlt,
+                  jnp.where(use_s1[:, None], X_s1, X_s2))
+    has_X = use_dlt | use_s1 | use_s2
+
+    # cheirality + reprojection checks in both views
+    def reproj_ok(T, p_obs, lvl, kf_ur, idx_side):
+        pc = se3.apply(T, X)
+        z = pc[:, 2]
+        u = cam.fx * pc[:, 0] / jnp.maximum(z, 1e-9) + cam.cx
+        v = cam.fy * pc[:, 1] / jnp.maximum(z, 1e-9) + cam.cy
+        err = (u - p_obs[:, 0]) ** 2 + (v - p_obs[:, 1]) ** 2
+        s2 = sigma2[jnp.clip(lvl, 0, cfg.n_levels - 1)]
+        ok2d = err < 5.991 * s2
+        # stereo obs: include uR residual with 7.8 threshold
+        ur_pred = u - cam.bf / jnp.maximum(z, 1e-9)
+        err3 = err + (ur_pred - kf_ur) ** 2
+        ok3d = err3 < 7.8 * s2
+        ok = jnp.where(kf_ur >= 0, ok3d, ok2d)
+        return ok & (z > 0), z
+
+    lvl1 = jnp.clip(m.kf_level[kf1], 0, cfg.n_levels - 1)
+    ok1, z1w = reproj_ok(T1, p1, lvl1, m.kf_ur[kf1], 0)
+    ok2, z2w = reproj_ok(T2, p2, lvl2[i2], m.kf_ur[kf2][i2], 1)
+
+    # scale consistency (src/LocalMapping.cc:575-608)
+    dist1 = jnp.linalg.norm(X - O1, axis=-1)
+    dist2 = jnp.linalg.norm(X - O2, axis=-1)
+    ratio_dist = dist2 / jnp.maximum(dist1, 1e-9)
+    sf = jnp.asarray(cfg.scale_factors, jnp.float32)
+    ratio_octave = sf[lvl1] / sf[lvl2[i2]]
+    ratio_factor = 1.5 * cfg.scale_factor
+    scale_ok = (ratio_dist * ratio_factor > ratio_octave) & \
+        (ratio_dist < ratio_octave * ratio_factor)
+
+    create = keep & has_X & ok1 & ok2 & scale_ok & baseline_ok & (dist1 > 0) & (dist2 > 0)
+
+    # cap new points per neighbor to max_new by match quality
+    order = jnp.argsort(jnp.where(create, best, 1 << 20))
+    rank = jnp.zeros((N,), jnp.int32).at[order].set(jnp.arange(N, dtype=jnp.int32))
+    create = create & (rank < max_new)
+
+    slots = mapstate.allocate_points(m, create)
+    m = mapstate.add_points(m, slots, X, m.kf_desc[kf1], kf1, m.next_kf - 1)
+    okc = create & (slots >= 0)
+    m = mapstate.bind_observations(m, kf1, jnp.arange(N), slots, okc)
+    m = mapstate.bind_observations(m, kf2, i2, slots, okc)
+
+    pmask = jnp.zeros((m.capacity_pt,), bool).at[
+        jnp.where(okc, slots, m.capacity_pt)].set(True, mode="drop")
+    m = mapstate.update_point_normals(m, pmask, cfg.scale_factors)
+    return m, jnp.sum(okc.astype(jnp.int32))
+
+
+# ---------------------------------------------------------------------------
+# Fusion (LocalMapping::SearchInNeighbors + ORBmatcher::Fuse,
+# src/LocalMapping.cc:623-749, src/ORBmatcher.cc:1472-1740)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def fuse_into_keyframe(cfg: SlamConfig, m: mapstate.MapState, kf_id, pt_ids,
+                       pt_sel):
+    """Project the given map points into keyframe kf_id; for each good match:
+    if the keypoint is bound to another point, keep the better-observed one
+    (Replace); else bind the point. pt_ids: (B,) candidate ids; pt_sel: (B,)."""
+    cam = cfg.camera()
+    Tcw = m.kf_pose[kf_id]
+    pos = m.pt_pos[jnp.clip(pt_ids, 0, m.capacity_pt - 1)]
+    pc = se3.apply(Tcw, pos)
+    z = pc[:, 2]
+    uv = jnp.stack([cam.fx * pc[:, 0] / jnp.maximum(z, 1e-6) + cam.cx,
+                    cam.fy * pc[:, 1] / jnp.maximum(z, 1e-6) + cam.cy], axis=-1)
+    Ow = se3.translation(se3.inverse(Tcw))
+    po = pos - Ow
+    dist3 = jnp.linalg.norm(po, axis=-1)
+    normal = m.pt_normal[jnp.clip(pt_ids, 0, m.capacity_pt - 1)]
+    view_cos = jnp.sum(po * normal, axis=-1) / jnp.maximum(dist3, 1e-9)
+    max_d = m.pt_max_dist[jnp.clip(pt_ids, 0, m.capacity_pt - 1)]
+    min_d = m.pt_min_dist[jnp.clip(pt_ids, 0, m.capacity_pt - 1)]
+    valid = pt_sel & m.pt_valid[jnp.clip(pt_ids, 0, m.capacity_pt - 1)] & \
+        (z > 0) & (uv[:, 0] >= 0) & (uv[:, 0] < cfg.width) & \
+        (uv[:, 1] >= 0) & (uv[:, 1] < cfg.height) & \
+        (dist3 >= 0.8 * min_d) & (dist3 <= 1.2 * max_d) & (view_cos > 0.5)
+    # don't re-fuse points this KF already observes
+    already = jnp.zeros((m.capacity_pt,), bool).at[
+        jnp.where(m.kf_obs[kf_id] >= 0, m.kf_obs[kf_id], m.capacity_pt)
+    ].set(True, mode="drop")
+    valid = valid & ~already[jnp.clip(pt_ids, 0, m.capacity_pt - 1)]
+
+    log_sf = math.log(cfg.scale_factor)
+    ratio = max_d / jnp.maximum(dist3, 1e-9)
+    pred_level = jnp.clip(
+        jnp.ceil(jnp.log(jnp.maximum(ratio, 1e-9)) / log_sf).astype(jnp.int32),
+        0, cfg.n_levels - 1)
+    ur_proj = jnp.where(cfg.bf > 0, uv[:, 0] - cam.bf / jnp.maximum(z, 1e-6), -1.0)
+
+    mm = matching.search_by_projection_points(
+        uv, pred_level, view_cos,
+        m.pt_desc[jnp.clip(pt_ids, 0, m.capacity_pt - 1)], valid, ur_proj,
+        m.kf_xy[kf_id], m.kf_level[kf_id], m.kf_desc[kf_id],
+        m.kf_feat_valid[kf_id], m.kf_ur[kf_id],
+        cfg.scale_factors, th=3.0, nn_ratio=1.0)
+
+    tgt_pt = m.kf_obs[kf_id][jnp.clip(mm.idx, 0, m.n_feat - 1)]
+    cnt = mapstate.count_observations(m)
+    src = jnp.clip(pt_ids, 0, m.capacity_pt - 1)
+
+    # case A: keypoint already bound -> Replace the less-observed point
+    both = mm.valid & (tgt_pt >= 0) & (tgt_pt != src)
+    src_wins = cnt[src] > cnt[jnp.clip(tgt_pt, 0, m.capacity_pt - 1)]
+    mapping = jnp.arange(m.capacity_pt, dtype=jnp.int32)
+    # replace target by source where source wins
+    mapping = mapping.at[jnp.where(both & src_wins, tgt_pt, m.capacity_pt)].set(
+        src, mode="drop")
+    # replace source by target where target wins
+    mapping = mapping.at[jnp.where(both & ~src_wins, src, m.capacity_pt)].set(
+        jnp.clip(tgt_pt, 0, m.capacity_pt - 1), mode="drop")
+    m = mapstate.replace_points(m, mapping)
+
+    # case B: keypoint unbound -> bind source point
+    bind = mm.valid & (tgt_pt < 0)
+    m = mapstate.bind_observations(m, kf_id, mm.idx, src, bind)
+    return m
+
+
+# ---------------------------------------------------------------------------
+# Local bundle adjustment wiring (Optimizer::LocalBundleAdjustment,
+# src/Optimizer.cc:646-1067)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("cfg", "n_local", "n_fixed", "max_pts", "max_obs"))
+def local_ba(cfg: SlamConfig, m: mapstate.MapState, kf_id,
+             n_local: int = 32, n_fixed: int = 32, max_pts: int = 4096,
+             max_obs: int = 12):
+    """Build the local BA problem around kf_id and solve it.
+
+    Local cameras = kf_id + covisible keyframes; fixed cameras = other
+    observers of the local points; landmark slots capped at max_pts. Outlier
+    observations (chi2 classification from the solver) are erased, matching
+    the reference's post-BA cleanup."""
+    cam = cfg.camera()
+    K = m.capacity_kf
+    C = n_local + n_fixed
+
+    w = jnp.where(m.kf_valid, m.covis[kf_id], 0).at[kf_id].set(1 << 20)
+    lw, local_kf = jax.lax.top_k(w, n_local)
+    local_is = lw > 0                                    # (n_local,)
+    is_local = jnp.zeros((K,), bool).at[
+        jnp.where(local_is, local_kf, K)].set(True, mode="drop")
+
+    # local points: union of local KF observations, capped
+    rows = m.kf_obs[jnp.clip(local_kf, 0, K - 1)]
+    rows = jnp.where(local_is[:, None], rows, INVALID)
+    present = jnp.zeros((m.capacity_pt,), bool).at[
+        jnp.where(rows.reshape(-1) >= 0, rows.reshape(-1), m.capacity_pt)
+    ].set(True, mode="drop") & m.pt_valid
+    order = jnp.argsort(~present, stable=True)
+    sel_pt = order[:max_pts]
+    sel_ok = present[sel_pt]
+
+    # observations of selected points
+    obs_kf, obs_ft, obs_on = mapstate.point_observations(m, max_obs=max_obs)
+    okf = obs_kf[sel_pt]                                 # (Q,O)
+    oft = obs_ft[sel_pt]
+    oon = obs_on[sel_pt] & sel_ok[:, None]
+
+    # fixed cameras: observers that are not local
+    obs_is_local = is_local[jnp.clip(okf, 0, K - 1)] & oon
+    fixed_need = jnp.zeros((K,), bool).at[
+        jnp.where(oon & ~obs_is_local, okf, K)].set(True, mode="drop")
+    fixed_need = fixed_need & m.kf_valid & ~is_local
+    forder = jnp.argsort(~fixed_need, stable=True)
+    fixed_kf = forder[:n_fixed]
+    fixed_is = fixed_need[fixed_kf]
+
+    # camera slot table: K -> slot in [0, C) or -1
+    slot_of = jnp.full((K,), INVALID, jnp.int32)
+    slot_of = slot_of.at[jnp.where(local_is, local_kf, K)].set(
+        jnp.arange(n_local, dtype=jnp.int32), mode="drop")
+    slot_of = slot_of.at[jnp.where(fixed_is, fixed_kf, K)].set(
+        jnp.arange(n_local, n_local + n_fixed, dtype=jnp.int32), mode="drop")
+
+    cam_ids = jnp.concatenate([local_kf, fixed_kf])
+    cam_used = jnp.concatenate([local_is, fixed_is])
+    cam_fixed = jnp.concatenate([jnp.zeros(n_local, bool), jnp.ones(n_fixed, bool)])
+    # gauge: fix kf0-equivalent — the reference fixes KFs with id 0; we fix
+    # the oldest local KF when there are no fixed observers
+    any_fixed = jnp.any(cam_fixed & cam_used)
+    oldest = jnp.argmin(jnp.where(
+        cam_used & ~cam_fixed, m.kf_frame_id[jnp.clip(cam_ids, 0, K - 1)], 1 << 30))
+    cam_fixed = cam_fixed.at[oldest].set(
+        jnp.where(any_fixed, cam_fixed[oldest], True))
+    # also always fix the very first keyframe if present (reference behavior)
+    is_first = m.kf_frame_id[jnp.clip(cam_ids, 0, K - 1)] == 0
+    cam_fixed = cam_fixed | (is_first & cam_used)
+
+    poses = m.kf_pose[jnp.clip(cam_ids, 0, K - 1)]
+
+    ocam = jnp.where(oon, slot_of[jnp.clip(okf, 0, K - 1)], INVALID)
+    kfc = jnp.clip(okf, 0, K - 1)
+    ftc = jnp.clip(oft, 0, m.n_feat - 1)
+    xy = m.kf_xy[kfc, ftc]
+    ur = m.kf_ur[kfc, ftc]
+    lvl = m.kf_level[kfc, ftc]
+    obs_uvr = jnp.concatenate([xy, ur[..., None]], axis=-1)
+
+    prob = schur_ba.BAProblem(
+        poses=poses, cam_valid=cam_used, cam_fixed=cam_fixed,
+        points=m.pt_pos[sel_pt], pt_valid=sel_ok,
+        obs_cam=ocam, obs_uvr=obs_uvr, obs_level=lvl)
+    res = schur_ba.solve_ba(cam, prob, cfg.level_sigma2)
+
+    # write back poses + points
+    wb = cam_used & ~cam_fixed
+    m = m._replace(
+        kf_pose=m.kf_pose.at[jnp.where(wb, cam_ids, K)].set(res.poses, mode="drop"),
+        pt_pos=m.pt_pos.at[jnp.where(sel_ok, sel_pt, m.capacity_pt)].set(
+            res.points, mode="drop"),
+    )
+    # erase outlier observations
+    outlier = (ocam >= 0) & ~res.edge_inlier
+    m = m._replace(kf_obs=m.kf_obs.at[
+        jnp.where(outlier, kfc, K), jnp.where(outlier, ftc, 0)
+    ].set(INVALID, mode="drop"))
+    return m
+
+
+# ---------------------------------------------------------------------------
+# Keyframe culling (LocalMapping::KeyFrameCulling, src/LocalMapping.cc:868-963)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("cfg", "max_obs"))
+def cull_keyframes(cfg: SlamConfig, m: mapstate.MapState, kf_id,
+                   max_obs: int = 12):
+    """A covisible keyframe of kf_id is redundant if >=90% of its points are
+    seen by >=3 other keyframes at the same or finer scale. The first
+    keyframe is never culled. Returns (map, culled_mask (K,))."""
+    K = m.capacity_kf
+    obs_kf, obs_ft, obs_on = mapstate.point_observations(m, max_obs=max_obs)
+    kfc = jnp.clip(obs_kf, 0, K - 1)
+    ftc = jnp.clip(obs_ft, 0, m.n_feat - 1)
+    levels = jnp.where(obs_on, m.kf_level[kfc, ftc], 1 << 10)   # (P,O)
+    cnt = mapstate.count_observations(m)
+
+    first_fid = jnp.min(jnp.where(m.kf_valid, m.kf_frame_id, 1 << 30))
+    candidates = (m.covis[kf_id] > 0) & m.kf_valid & (m.kf_frame_id > first_fid)
+
+    def redundancy(k):
+        row = m.kf_obs[k]                                # (N,)
+        pt = jnp.clip(row, 0, m.capacity_pt - 1)
+        mine = (row >= 0) & (cnt[pt] >= 3)
+        my_level = m.kf_level[k]
+        # observations of these points by other KFs at level <= mine+1
+        o_lv = levels[pt]                                # (N,O)
+        o_kf = obs_kf[pt]
+        others = obs_on[pt] & (o_kf != k) & (o_lv <= (my_level[:, None] + 1))
+        n_others = jnp.sum(others.astype(jnp.int32), axis=1)
+        redundant = mine & (n_others >= 3)
+        nm = jnp.sum(mine.astype(jnp.int32))
+        return jnp.sum(redundant.astype(jnp.int32)), nm
+
+    red, tot = jax.vmap(redundancy)(jnp.arange(K))
+    cull = candidates & (red.astype(jnp.float32) > 0.9 * tot.astype(jnp.float32)) & (tot > 0)
+
+    # erase culled keyframes: clear obs, covis, validity; reparent children
+    obs_cleared = jnp.where(cull[:, None], INVALID, m.kf_obs)
+    covis = jnp.where(cull[:, None] | cull[None, :], 0, m.covis)
+    new_parent = m.parent
+    parent_culled = cull[jnp.clip(m.parent, 0, K - 1)] & (m.parent >= 0)
+    grand = m.parent[jnp.clip(m.parent, 0, K - 1)]
+    new_parent = jnp.where(parent_culled, grand, new_parent)
+    m = m._replace(kf_obs=obs_cleared, covis=covis,
+                   kf_valid=m.kf_valid & ~cull, parent=new_parent)
+    return m, cull

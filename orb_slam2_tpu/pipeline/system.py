@@ -1,0 +1,466 @@
+"""System facade + tracking state machine + staged local mapping.
+
+Replaces `System` / `Tracking` / `LocalMapping` orchestration
+(`src/System.cc:18-147`, `src/Tracking.cc:431-767`, `src/LocalMapping.cc:71-159`).
+The reference's 3 threads + queues + ~15 mutexes become a deterministic staged
+schedule: every tracked frame runs the jitted tracking steps; keyframe
+insertion immediately runs the jitted mapping stages (cull -> triangulate ->
+fuse -> local BA -> KF cull) on the new map snapshot. All heavy work is on
+device; this class only sequences jitted calls and keeps small host state.
+"""
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..geometry import se3
+from ..mapstate import map as mapstate
+from ..ops import matching
+from ..solvers import initializer, pose_opt, schur_ba
+from ..utils.config import SlamConfig, SENSOR_MONOCULAR, SENSOR_STEREO, SENSOR_RGBD
+from . import frame as frame_mod
+from . import mapping_ops, tracking_ops
+from .frame import FrameData
+
+NOT_INITIALIZED = 0
+OK = 1
+LOST = 2
+
+INVALID = -1
+
+
+@dataclass
+class TrajectoryEntry:
+    timestamp: float
+    T_rel: np.ndarray      # Tcw * inv(T_ref_kf) at track time
+    ref_kf: int
+    lost: bool
+
+
+class SlamSystem:
+    """Facade: construct once, call track_* per frame, then get_trajectory()."""
+
+    def __init__(self, cfg: SlamConfig):
+        self.cfg = cfg
+        self.cam = cfg.camera()
+        self.m = mapstate.empty(cfg.max_keyframes, cfg.max_map_points,
+                                cfg.max_keypoints)
+        self.state = NOT_INITIALIZED
+        self.velocity: Optional[np.ndarray] = None
+        self.last_Tcw: Optional[np.ndarray] = None
+        self.last_frame: Optional[FrameData] = None
+        self.last_pts = None          # (N,3) 3D for last frame features
+        self.last_pts_valid = None
+        self.last_matched_pt = None   # (N,) map point ids of last frame
+        self.ref_kf = 0
+        self.frame_id = 0
+        self.last_kf_frame_id = 0
+        self.init_frame: Optional[FrameData] = None
+        self.trajectory: List[TrajectoryEntry] = []
+        self.n_inliers = 0
+        self.metrics: List[dict] = []
+
+    # ------------------------------------------------------------------
+    # public entry points (System::TrackMonocular/Stereo/RGBD)
+    # ------------------------------------------------------------------
+
+    def track_monocular(self, img, timestamp: float):
+        f = frame_mod.make_frame_monocular(jnp.asarray(img, jnp.float32), self.cfg)
+        return self._track(f, timestamp)
+
+    def track_stereo(self, img_left, img_right, timestamp: float):
+        f = frame_mod.make_frame_stereo(
+            jnp.asarray(img_left, jnp.float32), jnp.asarray(img_right, jnp.float32),
+            self.cfg)
+        return self._track(f, timestamp)
+
+    def track_rgbd(self, img, depth, timestamp: float):
+        f = frame_mod.make_frame_rgbd(
+            jnp.asarray(img, jnp.float32), jnp.asarray(depth, jnp.float32), self.cfg)
+        return self._track(f, timestamp)
+
+    # ------------------------------------------------------------------
+
+    def _track(self, f: FrameData, timestamp: float):
+        if self.state == NOT_INITIALIZED:
+            Tcw = self._initialize(f, timestamp)
+        else:
+            Tcw = self._track_frame(f, timestamp)
+        self.frame_id += 1
+        return Tcw
+
+    # ------------------------------------------------------------------
+    # Initialization
+    # ------------------------------------------------------------------
+
+    def _initialize(self, f: FrameData, timestamp: float):
+        if self.cfg.sensor == SENSOR_MONOCULAR:
+            return self._initialize_monocular(f, timestamp)
+        return self._initialize_depth(f, timestamp)
+
+    def _initialize_depth(self, f: FrameData, timestamp: float):
+        """StereoInitialization (src/Tracking.cc:774-860): need >500 features
+        (scaled to the configured budget), create KF0 with a map point per
+        depth measurement."""
+        n = int(f.n)
+        if n <= min(500, self.cfg.n_features // 2):
+            return None
+        Tcw = jnp.eye(4)
+        matched = jnp.full((self.cfg.max_keypoints,), INVALID, jnp.int32)
+        self.m, kf_id = mapping_ops.insert_keyframe(
+            self.cfg, self.m, f, Tcw, matched, self.frame_id, timestamp,
+            all_depth=True)
+        self.ref_kf = int(kf_id)
+        self.last_kf_frame_id = self.frame_id
+        self.state = OK
+        self._set_last(f, Tcw, self.m.kf_obs[kf_id])
+        self.velocity = None
+        self._record(timestamp, np.asarray(Tcw), self.ref_kf, False)
+        return np.asarray(Tcw)
+
+    def _initialize_monocular(self, f: FrameData, timestamp: float):
+        """MonocularInitialization (src/Tracking.cc:864-944)."""
+        if self.init_frame is None or int(f.n) <= 100:
+            self.init_frame = f if int(f.n) > 100 else None
+            self.init_ts = timestamp
+            return None
+        ref = self.init_frame
+        mm = matching.search_for_initialization(
+            ref.xy, ref.level, ref.desc, ref.valid, ref.angle,
+            f.xy, f.level, f.desc, f.valid, f.angle)
+        n_matches = int(jnp.sum(mm.valid))
+        if n_matches < 100:
+            self.init_frame = None
+            return None
+        p1 = ref.xy
+        p2 = f.xy[jnp.clip(mm.idx, 0, f.xy.shape[0] - 1)]
+        res = initializer.initialize(
+            p1, p2, mm.valid, float(self.cfg.fx), float(self.cfg.fy),
+            float(self.cfg.cx), float(self.cfg.cy))
+        if not bool(res.success):
+            return None
+
+        # --- CreateInitialMapMonocular (src/Tracking.cc:944-1127) ---
+        T0 = jnp.eye(4)
+        T1 = se3.make(res.R21, res.t21)
+        good = np.asarray(res.good)
+        N = self.cfg.max_keypoints
+        matched0 = jnp.full((N,), INVALID, jnp.int32)
+        m, kf0 = mapstate.add_keyframe(
+            self.m, T0, ref.xy, ref.level, ref.angle, ref.desc, ref.ur,
+            ref.depth, ref.valid, matched0, self.frame_id - 1, self.init_ts)
+        m, kf1 = mapstate.add_keyframe(
+            m, T1, f.xy, f.level, f.angle, f.desc, f.ur, f.depth, f.valid,
+            matched0, self.frame_id, timestamp)
+        slots = mapstate.allocate_points(m, res.good)
+        m = mapstate.add_points(m, slots, res.points, ref.desc, kf0, 0)
+        okc = res.good & (slots >= 0)
+        m = mapstate.bind_observations(m, kf0, jnp.arange(N), slots, okc)
+        m = mapstate.bind_observations(m, kf1, mm.idx, slots, okc & mm.valid)
+        m = mapstate.update_connections(m, kf1)
+        pmask = jnp.zeros((m.capacity_pt,), bool).at[
+            jnp.where(okc, slots, m.capacity_pt)].set(True, mode="drop")
+        m = mapstate.update_point_descriptors(m, pmask)
+        m = mapstate.update_point_normals(m, pmask, self.cfg.scale_factors)
+
+        # full BA on the two views (reference: GBA 20 iters)
+        m = self._two_view_ba(m, kf0, kf1)
+
+        # scale by inverse median depth of KF0
+        obs0 = m.kf_obs[kf0]
+        pos = m.pt_pos[jnp.clip(obs0, 0, m.capacity_pt - 1)]
+        z = jnp.where(obs0 >= 0, pos[:, 2], jnp.inf)
+        zs = jnp.sort(z)
+        nv = int(jnp.sum((obs0 >= 0).astype(jnp.int32)))
+        if nv < 50:
+            return None
+        med = float(zs[nv // 2])
+        if med <= 0:
+            return None
+        inv_med = 1.0 / med
+        T1b = np.array(m.kf_pose[kf1])
+        T1b[:3, 3] *= inv_med
+        m = m._replace(
+            kf_pose=m.kf_pose.at[kf1].set(jnp.asarray(T1b)),
+            pt_pos=jnp.where(m.pt_valid[:, None], m.pt_pos * inv_med, m.pt_pos))
+
+        self.m = m
+        self.state = OK
+        self.ref_kf = int(kf1)
+        self.last_kf_frame_id = self.frame_id
+        Tcw = m.kf_pose[kf1]
+        self._set_last(f, Tcw, m.kf_obs[kf1])
+        self.velocity = None
+        self._record(self.init_ts, np.eye(4), int(kf0), False)
+        self._record(timestamp, np.eye(4), int(kf1), False)
+        return np.asarray(Tcw)
+
+    def _two_view_ba(self, m, kf0, kf1):
+        C = 2
+        Q = self.cfg.max_keypoints
+        obs_kf, obs_ft, obs_on = mapstate.point_observations(m, max_obs=4)
+        order = jnp.argsort(~m.pt_valid, stable=True)
+        sel = order[:Q]
+        sel_ok = m.pt_valid[sel]
+        okf = obs_kf[sel][:, :2]
+        oft = obs_ft[sel][:, :2]
+        oon = obs_on[sel][:, :2]
+        slot = jnp.where(okf == kf0, 0, jnp.where(okf == kf1, 1, INVALID))
+        slot = jnp.where(oon, slot, INVALID)
+        kfc = jnp.clip(okf, 0, m.capacity_kf - 1)
+        ftc = jnp.clip(oft, 0, m.n_feat - 1)
+        xy = m.kf_xy[kfc, ftc]
+        ur = m.kf_ur[kfc, ftc]
+        lvl = m.kf_level[kfc, ftc]
+        prob = schur_ba.BAProblem(
+            poses=jnp.stack([m.kf_pose[kf0], m.kf_pose[kf1]]),
+            cam_valid=jnp.ones(2, bool),
+            cam_fixed=jnp.asarray([True, False]),
+            points=m.pt_pos[sel], pt_valid=sel_ok,
+            obs_cam=slot, obs_uvr=jnp.concatenate([xy, ur[..., None]], -1),
+            obs_level=lvl)
+        res = schur_ba.solve_ba(self.cam, prob, self.cfg.level_sigma2,
+                                iters_a=10, iters_b=10)
+        m = m._replace(
+            kf_pose=m.kf_pose.at[kf1].set(res.poses[1]),
+            pt_pos=m.pt_pos.at[jnp.where(sel_ok, sel, m.capacity_pt)].set(
+                res.points, mode="drop"))
+        return m
+
+    # ------------------------------------------------------------------
+    # Per-frame tracking
+    # ------------------------------------------------------------------
+
+    def _set_last(self, f: FrameData, Tcw, matched_pt):
+        """Prepare last-frame 3D points for the next motion-model step:
+        matched map points, plus temporal VO points from close stereo depth
+        (UpdateLastFrame, src/Tracking.cc:1228-1330)."""
+        self.last_frame = f
+        self.last_Tcw = np.asarray(Tcw)
+        matched_pt = jnp.asarray(matched_pt)
+        self.last_matched_pt = matched_pt
+        pos = self.m.pt_pos[jnp.clip(matched_pt, 0, self.m.capacity_pt - 1)]
+        has_pt = matched_pt >= 0
+        if self.cfg.sensor != SENSOR_MONOCULAR:
+            cam = self.cam
+            z = jnp.maximum(f.depth, 1e-6)
+            x = (f.xy[:, 0] - cam.cx) / cam.fx * z
+            y = (f.xy[:, 1] - cam.cy) / cam.fy * z
+            pc = jnp.stack([x, y, z], axis=-1)
+            pw = se3.apply(se3.inverse(jnp.asarray(Tcw)), pc)
+            close = (f.depth > 0) & (f.depth < self.cfg.th_depth * self.cfg.baseline)
+            temporal = close & ~has_pt & f.valid
+            pos = jnp.where(temporal[:, None], pw, pos)
+            valid = has_pt | temporal
+        else:
+            valid = has_pt
+        self.last_pts = pos
+        self.last_pts_valid = valid
+
+    def _track_frame(self, f: FrameData, timestamp: float):
+        cfg = self.cfg
+        ok = False
+        matched_pt = jnp.full((cfg.max_keypoints,), INVALID, jnp.int32)
+        Tcw = jnp.asarray(self.last_Tcw)
+
+        if self.state == OK:
+            T_pred = jnp.asarray(
+                self.velocity @ self.last_Tcw if self.velocity is not None
+                else self.last_Tcw)
+            th = 15.0 if cfg.sensor == SENSOR_MONOCULAR else 7.0
+            Tcw, matched_last, n_inl, n_m = tracking_ops.track_motion_model(
+                cfg, T_pred, self.last_frame, self.last_pts,
+                self.last_pts_valid, f, th=th)
+            if int(n_m) < 20:
+                Tcw, matched_last, n_inl, n_m = tracking_ops.track_motion_model(
+                    cfg, T_pred, self.last_frame, self.last_pts,
+                    self.last_pts_valid, f, th=2 * th, check_rotation=False)
+            ok = int(n_inl) >= 10
+            if ok:
+                # map current matches from last-frame features to map points
+                ml = jnp.clip(matched_last, 0, cfg.max_keypoints - 1)
+                matched_pt = jnp.where(
+                    matched_last >= 0, self.last_matched_pt[ml], INVALID)
+            else:
+                Tcw, matched_pt, ok = self._track_reference_kf(f, Tcw)
+        else:
+            Tcw, matched_pt, ok = self._track_reference_kf(f, Tcw)
+
+        n_local_inl = 0
+        if ok:
+            # local map tracking
+            local_kf, local_mask, ref_kf, local_pt, pt_mask = \
+                tracking_ops.select_local_map(
+                    self.m, matched_pt, max_kf=cfg.max_local_keyframes,
+                    max_pts=cfg.max_local_points)
+            self.ref_kf = int(ref_kf)
+            Tcw, matched_pt, n_inl2, vis_ids, fnd_ids = \
+                tracking_ops.track_local_map(
+                    cfg, self.m, Tcw, f, matched_pt, local_pt, pt_mask)
+            self.m = tracking_ops.update_counters(self.m, vis_ids,
+                                                  jnp.asarray(matched_pt), cfg)
+            n_local_inl = int(n_inl2)
+            ok = n_local_inl >= 30
+
+        self.n_inliers = n_local_inl
+        if not ok:
+            self.state = LOST
+            self._record(timestamp, np.eye(4), self.ref_kf, True)
+            self.metrics.append(dict(frame=self.frame_id, state="LOST",
+                                     inliers=0))
+            # keep last pose for a naive retry next frame
+            return None
+
+        self.state = OK
+        # motion model velocity
+        if self.last_Tcw is not None:
+            self.velocity = np.asarray(Tcw) @ np.linalg.inv(self.last_Tcw)
+
+        # keyframe decision
+        need_kf = self._need_new_keyframe(f, matched_pt, n_local_inl)
+        if need_kf:
+            self.m, kf_id = mapping_ops.insert_keyframe(
+                cfg, self.m, f, Tcw, matched_pt, self.frame_id, timestamp)
+            self.ref_kf = int(kf_id)
+            self.last_kf_frame_id = self.frame_id
+            matched_pt = self.m.kf_obs[kf_id]
+            self._local_mapping_pass(int(kf_id))
+
+        self._set_last(f, Tcw, matched_pt)
+        T_ref = np.asarray(self.m.kf_pose[self.ref_kf])
+        self._record(timestamp, np.asarray(Tcw) @ np.linalg.inv(T_ref),
+                     self.ref_kf, False)
+        self.metrics.append(dict(frame=self.frame_id, state="OK",
+                                 inliers=n_local_inl, kf=bool(need_kf),
+                                 n_kf=int(self.m.n_keyframes),
+                                 n_pts=int(self.m.n_points)))
+        return np.asarray(Tcw)
+
+    def _track_reference_kf(self, f: FrameData, Tcw):
+        """TrackReferenceKeyFrame (src/Tracking.cc:1166-1227): brute-force
+        descriptor match against the reference keyframe (the reference uses
+        BoW buckets purely for speed), then pose opt from the last pose."""
+        m = self.m
+        k = self.ref_kf
+        # single-bucket search_by_node == brute-force ratio matching
+        mm = matching.search_by_node(
+            jnp.where(f.valid, 0, -1), f.desc, f.valid, f.angle,
+            jnp.where(m.kf_feat_valid[k], 0, -1), m.kf_desc[k],
+            m.kf_feat_valid[k], m.kf_angle[k], nn_ratio=0.7)
+        # map keyframe features -> map points
+        kf_pt = m.kf_obs[k]
+        tgt = kf_pt[jnp.clip(mm.idx, 0, self.cfg.max_keypoints - 1)]
+        matched_pt = jnp.where(mm.valid & (tgt >= 0), tgt, INVALID)
+        has = matched_pt >= 0
+        n_m = int(jnp.sum(has.astype(jnp.int32)))
+        if n_m < 15:
+            return Tcw, matched_pt, False
+        Xw = m.pt_pos[jnp.clip(matched_pt, 0, m.capacity_pt - 1)]
+        obs = jnp.concatenate([f.xy, f.ur[:, None]], axis=-1)
+        res = pose_opt.optimize_pose(self.cam, Tcw, Xw, obs, f.level, has,
+                                     self.cfg.level_sigma2)
+        matched_pt = jnp.where(res.inliers, matched_pt, INVALID)
+        return res.Tcw, matched_pt, int(res.n_inliers) >= 10
+
+    def _need_new_keyframe(self, f: FrameData, matched_pt, n_inliers: int):
+        cfg = self.cfg
+        if int(self.m.n_keyframes) >= cfg.max_keyframes - 2:
+            return False
+        ref_matches, close_tracked, close_untracked = tracking_ops.keyframe_stats(
+            cfg, self.m, self.ref_kf, f, matched_pt)
+        ref_matches = int(ref_matches)
+        frames_since = self.frame_id - self.last_kf_frame_id
+        max_frames = int(cfg.fps)
+        n_kf = int(self.m.n_keyframes)
+
+        th_ratio = 0.75 if cfg.sensor != SENSOR_MONOCULAR else 0.9
+        if n_kf < 2:
+            th_ratio = 0.4
+
+        need_close = (cfg.sensor != SENSOR_MONOCULAR and
+                      (int(close_tracked) < 100 and int(close_untracked) > 70))
+        c1a = frames_since >= max_frames
+        c1b = frames_since >= 0  # mapper is always idle in the staged schedule
+        c1c = cfg.sensor != SENSOR_MONOCULAR and \
+            (n_inliers < ref_matches * 0.25 or need_close)
+        c2 = (n_inliers < ref_matches * th_ratio or need_close) and n_inliers > 15
+        return bool((c1a or c1b or c1c) and c2)
+
+    # ------------------------------------------------------------------
+    # Local mapping pass (synchronous, per keyframe)
+    # ------------------------------------------------------------------
+
+    def _local_mapping_pass(self, kf_id: int):
+        cfg = self.cfg
+        self.m = mapping_ops.cull_map_points(cfg, self.m)
+
+        nn = 20 if cfg.sensor == SENSOR_MONOCULAR else 10
+        ids, w = mapstate.covisible_keyframes(self.m, kf_id, nn)
+        ids_np = np.asarray(ids)
+        for nb in ids_np:
+            if nb < 0:
+                break
+            self.m, n_new = mapping_ops.triangulate_with_neighbor(
+                cfg, self.m, kf_id, int(nb))
+
+        # fuse with first-level neighbors, both directions
+        ids2, _ = mapstate.covisible_keyframes(self.m, kf_id, nn)
+        cur_pts = self.m.kf_obs[kf_id]
+        for nb in np.asarray(ids2):
+            if nb < 0:
+                break
+            self.m = mapping_ops.fuse_into_keyframe(
+                cfg, self.m, int(nb), cur_pts, cur_pts >= 0)
+            nb_pts = self.m.kf_obs[int(nb)]
+            self.m = mapping_ops.fuse_into_keyframe(
+                cfg, self.m, kf_id, nb_pts, nb_pts >= 0)
+
+        # refresh point stats after fusion
+        bound = self.m.kf_obs[kf_id]
+        pmask = jnp.zeros((self.m.capacity_pt,), bool).at[
+            jnp.where(bound >= 0, bound, self.m.capacity_pt)
+        ].set(True, mode="drop")
+        self.m = mapstate.update_point_descriptors(self.m, pmask)
+        self.m = mapstate.update_point_normals(self.m, pmask, cfg.scale_factors)
+        self.m = mapstate.update_connections(self.m, kf_id)
+
+        if int(self.m.n_keyframes) > 2:
+            self.m = mapping_ops.local_ba(
+                cfg, self.m, kf_id,
+                n_local=cfg.ba_local_cams, n_fixed=cfg.ba_fixed_cams,
+                max_pts=cfg.ba_max_points, max_obs=cfg.ba_max_obs)
+            self.m, culled = mapping_ops.cull_keyframes(cfg, self.m, kf_id)
+
+    # ------------------------------------------------------------------
+    # Output
+    # ------------------------------------------------------------------
+
+    def _record(self, ts, T_rel, ref_kf, lost):
+        self.trajectory.append(TrajectoryEntry(ts, np.asarray(T_rel), ref_kf, lost))
+
+    def get_trajectory(self) -> List[Tuple[float, np.ndarray]]:
+        """Final camera trajectory Twc per frame, composing the stored
+        relative pose with the (possibly optimized) keyframe pose — the
+        reference's SaveTrajectoryTUM walk (`src/System.cc:416-505`)."""
+        out = []
+        poses = np.asarray(self.m.kf_pose)
+        for e in self.trajectory:
+            if e.lost:
+                continue
+            Tcw = e.T_rel @ poses[e.ref_kf]
+            out.append((e.timestamp, np.linalg.inv(Tcw)))
+        return out
+
+    def keyframe_trajectory(self):
+        poses = np.asarray(self.m.kf_pose)
+        valid = np.asarray(self.m.kf_valid)
+        ts = np.asarray(self.m.kf_timestamp)
+        fid = np.asarray(self.m.kf_frame_id)
+        order = np.argsort(fid)
+        return [(float(ts[k]), np.linalg.inv(poses[k]))
+                for k in order if valid[k]]

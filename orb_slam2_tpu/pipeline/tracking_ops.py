@@ -1,0 +1,218 @@
+"""Jitted building blocks of the tracking front end.
+
+Device-side pieces of `Tracking::Track` (`src/Tracking.cc:431-767`): motion-
+model matching + pose opt, local-map selection, frustum culling, local-map
+matching + pose opt, and the keyframe-decision statistics. The host-side
+state machine lives in pipeline/tracking.py.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry import se3
+from ..mapstate import map as mapstate
+from ..ops import matching
+from ..solvers import pose_opt
+from ..utils.config import SlamConfig
+from .frame import FrameData
+
+INVALID = -1
+
+
+# ---------------------------------------------------------------------------
+# Motion-model tracking
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("cfg", "th", "check_rotation"))
+def track_motion_model(cfg: SlamConfig, T_pred,
+                       last: FrameData, last_pts, last_pts_valid,
+                       cur: FrameData, th: float = 7.0,
+                       check_rotation: bool = True):
+    """Project last frame's 3D points with the predicted pose and match into
+    the current frame (`ORBmatcher::SearchByProjection(F,F)`,
+    `src/ORBmatcher.cc:1741-1921`), then motion-only BA.
+
+    Returns (Tcw, matched_last_idx (N,) -> last-frame feature id per current
+    feature or -1, n_inliers)."""
+    cam = cfg.camera()
+    pc = se3.apply(T_pred, last_pts)
+    z = pc[..., 2]
+    uv = jnp.stack([cam.fx * pc[..., 0] / jnp.maximum(z, 1e-6) + cam.cx,
+                    cam.fy * pc[..., 1] / jnp.maximum(z, 1e-6) + cam.cy], axis=-1)
+    ur_proj = uv[..., 0] - cam.bf / jnp.maximum(z, 1e-6)
+    ur_proj = jnp.where(last.ur >= 0, ur_proj, -1.0)
+    in_img = (z > 0) & (uv[..., 0] >= 0) & (uv[..., 0] < cfg.width) & \
+        (uv[..., 1] >= 0) & (uv[..., 1] < cfg.height)
+    src_valid = last_pts_valid & in_img
+
+    # forward/backward octave rule from camera z-translation vs baseline
+    tz = T_pred[2, 3] - 0.0  # relative translation approximated by pred z...
+    # (the reference uses the current-to-last relative translation; caller
+    # passes T_pred = T_rel @ T_last so we recover T_rel z here)
+    m = matching.search_by_projection_frame(
+        uv, last.level, last.desc, src_valid, last.angle, ur_proj,
+        cur.xy, cur.level, cur.desc, cur.valid, cur.angle, cur.ur,
+        cfg.scale_factors, th, forward=False, backward=False,
+        check_rotation=check_rotation)
+
+    # build pose-opt problem: current keypoints matched to last-frame 3D pts
+    N = cur.xy.shape[0]
+    kp_pt = jnp.full((N,), INVALID, jnp.int32)
+    kp_pt = kp_pt.at[jnp.where(m.valid, m.idx, N)].set(
+        jnp.arange(last_pts.shape[0], dtype=jnp.int32), mode="drop")
+    has = kp_pt >= 0
+    Xw = last_pts[jnp.clip(kp_pt, 0, last_pts.shape[0] - 1)]
+    obs = jnp.concatenate([cur.xy, cur.ur[:, None]], axis=-1)
+    res = pose_opt.optimize_pose(cam, T_pred, Xw, obs, cur.level, has,
+                                 cfg.level_sigma2)
+    matched_last = jnp.where(res.inliers, kp_pt, INVALID)
+    return res.Tcw, matched_last, res.n_inliers, jnp.sum(has.astype(jnp.int32))
+
+
+# ---------------------------------------------------------------------------
+# Local map selection
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("max_kf", "max_pts"))
+def select_local_map(m: mapstate.MapState, matched_pt,
+                     max_kf: int = 80, max_pts: int = 8192):
+    """`Tracking::UpdateLocalKeyFrames/Points` (`src/Tracking.cc:1841-1978`):
+    K1 = keyframes observing the current frame's matched points (sharing
+    counts via one gather), K2 = their covisibility neighbors, capped at
+    max_kf; local points = union of their observations, capped at max_pts.
+
+    Returns (local_kf (max_kf,), ref_kf, local_pt (max_pts,), masks)."""
+    P = m.capacity_pt
+    ind = jnp.zeros((P,), jnp.int32).at[
+        jnp.where(matched_pt >= 0, matched_pt, P)
+    ].max(1, mode="drop")
+    looked = jnp.where(m.kf_obs >= 0, ind[jnp.clip(m.kf_obs, 0, P - 1)], 0)
+    share = jnp.sum(looked, axis=1) * m.kf_valid                   # (K,)
+    ref_kf = jnp.argmax(share)
+
+    k1_w, k1_idx = jax.lax.top_k(share, min(max_kf, share.shape[0]))
+    k1_mask_full = share > 0                                        # (K,)
+    # neighbor score: max covis weight to any K1 member
+    neigh = jnp.max(jnp.where(k1_mask_full[:, None], m.covis, 0), axis=0)
+    score = jnp.where(k1_mask_full, share + 100000, neigh) * m.kf_valid
+    w, local_kf = jax.lax.top_k(score, min(max_kf, score.shape[0]))
+    local_mask = w > 0
+
+    # local points: union of observations of local KFs
+    rows = m.kf_obs[jnp.clip(local_kf, 0, m.capacity_kf - 1)]       # (L,N)
+    rows = jnp.where(local_mask[:, None], rows, INVALID)
+    flat = rows.reshape(-1)
+    present = jnp.zeros((P,), bool).at[jnp.where(flat >= 0, flat, P)].set(
+        True, mode="drop")
+    present = present & m.pt_valid
+    # compact to fixed buffer
+    order = jnp.argsort(~present, stable=True)
+    local_pt = order[:max_pts]
+    pt_mask = present[local_pt]
+    return local_kf, local_mask, ref_kf, local_pt, pt_mask
+
+
+# ---------------------------------------------------------------------------
+# Local-map tracking
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("cfg", "th"))
+def track_local_map(cfg: SlamConfig, m: mapstate.MapState, Tcw,
+                    cur: FrameData, matched_pt, local_pt, local_pt_mask,
+                    th: float = 1.0):
+    """`Tracking::TrackLocalMap` (`src/Tracking.cc:1424-1498`) +
+    `SearchLocalPoints` (`:1745-1831`) + `Frame::isInFrustum`
+    (`src/Frame.cc:490-580`). Returns (Tcw, matched_pt', n_inliers,
+    visible_pt_ids, found_pt_ids) — the id lists drive the map's
+    visible/found counters."""
+    cam = cfg.camera()
+    PL = local_pt.shape[0]
+    pos = m.pt_pos[local_pt]                               # (PL,3)
+    pc = se3.apply(Tcw, pos)
+    z = pc[..., 2]
+    uv = jnp.stack([cam.fx * pc[..., 0] / jnp.maximum(z, 1e-6) + cam.cx,
+                    cam.fy * pc[..., 1] / jnp.maximum(z, 1e-6) + cam.cy], axis=-1)
+    Ow = se3.translation(se3.inverse(Tcw))
+    po = pos - Ow
+    dist = jnp.linalg.norm(po, axis=-1)
+    normal = m.pt_normal[local_pt]
+    view_cos = jnp.sum(po * normal, axis=-1) / jnp.maximum(dist, 1e-9)
+    min_d = 0.8 * m.pt_min_dist[local_pt]
+    max_d = 1.2 * m.pt_max_dist[local_pt]
+    in_frustum = (z > 0) & (uv[..., 0] >= 0) & (uv[..., 0] < cfg.width) & \
+        (uv[..., 1] >= 0) & (uv[..., 1] < cfg.height) & \
+        (dist >= min_d) & (dist <= max_d) & (view_cos > 0.5) & local_pt_mask
+
+    # predicted octave from distance (MapPoint::PredictScale)
+    import math
+    log_sf = math.log(cfg.scale_factor)
+    ratio = m.pt_max_dist[local_pt] / jnp.maximum(dist, 1e-9)
+    pred_level = jnp.clip(
+        jnp.ceil(jnp.log(jnp.maximum(ratio, 1e-9)) / log_sf).astype(jnp.int32),
+        0, cfg.n_levels - 1)
+
+    # skip points already matched to this frame by the motion model
+    already = jnp.zeros((m.capacity_pt,), bool).at[
+        jnp.where(matched_pt >= 0, matched_pt, m.capacity_pt)
+    ].set(True, mode="drop")
+    search_mask = in_frustum & ~already[local_pt]
+    kp_taken = matched_pt >= 0
+
+    ur_proj = jnp.where(cfg.bf > 0,
+                        uv[..., 0] - cam.bf / jnp.maximum(z, 1e-6), -1.0)
+    mm = matching.search_by_projection_points(
+        uv, pred_level, view_cos, m.pt_desc[local_pt], search_mask, ur_proj,
+        cur.xy, cur.level, cur.desc, cur.valid, cur.ur,
+        cfg.scale_factors, th=th, nn_ratio=0.8, already_matched=kp_taken)
+
+    # merge: new matches fill untaken keypoints
+    N = cur.xy.shape[0]
+    new_matched = jnp.full((N,), INVALID, jnp.int32).at[
+        jnp.where(mm.valid, mm.idx, N)
+    ].set(local_pt, mode="drop")
+    merged = jnp.where(matched_pt >= 0, matched_pt, new_matched)
+
+    # pose optimization over all matches
+    has = merged >= 0
+    Xw = m.pt_pos[jnp.clip(merged, 0, m.capacity_pt - 1)]
+    obs = jnp.concatenate([cur.xy, cur.ur[:, None]], axis=-1)
+    res = pose_opt.optimize_pose(cam, Tcw, Xw, obs, cur.level, has,
+                                 cfg.level_sigma2)
+    final = jnp.where(res.inliers, merged, INVALID)
+
+    # counters: visible = frustum hits; found = final inlier matches
+    visible_ids = jnp.where(in_frustum, local_pt, INVALID)
+    return res.Tcw, final, res.n_inliers, visible_ids, final
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def keyframe_stats(cfg: SlamConfig, m: mapstate.MapState, ref_kf,
+                   cur: FrameData, matched_pt):
+    """Statistics for `Tracking::NeedNewKeyFrame` (`src/Tracking.cc:1499-1623`).
+    Returns (ref_matches, n_close_tracked, n_close_untracked)."""
+    # ref KF tracked points with >= min_obs observations
+    cnt = mapstate.count_observations(m)
+    min_obs = jnp.where(m.n_keyframes <= 2, 2, 3)
+    ref_obs = m.kf_obs[ref_kf]
+    ref_matches = jnp.sum(((ref_obs >= 0) &
+                           (cnt[jnp.clip(ref_obs, 0, m.capacity_pt - 1)] >= min_obs)
+                           ).astype(jnp.int32))
+    close = (cur.depth > 0) & (cur.depth < cfg.th_depth * cfg.baseline) & cur.valid
+    tracked_close = jnp.sum((close & (matched_pt >= 0)).astype(jnp.int32))
+    untracked_close = jnp.sum((close & (matched_pt < 0)).astype(jnp.int32))
+    return ref_matches, tracked_close, untracked_close
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def update_counters(m: mapstate.MapState, visible_ids, found_ids, cfg: SlamConfig):
+    """Apply mnVisible / mnFound increments (`MapPoint::IncreaseVisible/Found`)."""
+    P = m.capacity_pt
+    vis = jnp.zeros((P,), jnp.int32).at[
+        jnp.where(visible_ids >= 0, visible_ids, P)].add(1, mode="drop")
+    fnd = jnp.zeros((P,), jnp.int32).at[
+        jnp.where(found_ids >= 0, found_ids, P)].add(1, mode="drop")
+    return m._replace(pt_visible=m.pt_visible + vis, pt_found=m.pt_found + fnd)

@@ -61,6 +61,12 @@ class SlamConfig:
     max_local_points: int = 1 << 13          # local map point buffer
     max_obs_per_point: int = 32              # point -> observing KFs capacity
 
+    # Local BA problem caps (static shapes of the Schur solver)
+    ba_local_cams: int = 32
+    ba_fixed_cams: int = 32
+    ba_max_points: int = 1 << 12
+    ba_max_obs: int = 12
+
     # Matching thresholds (src/ORBmatcher.cc:56-58)
     th_high: int = 100
     th_low: int = 50

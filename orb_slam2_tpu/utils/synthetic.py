@@ -1,0 +1,124 @@
+"""Synthetic world: a textured plane rendered with exact ground-truth poses.
+
+Replaces the reference's TUM/KITTI/EuRoC example datasets for tests and
+benchmarks (no datasets ship with this repo): the camera orbits/translates in
+front of a plane z = Z0 with a high-contrast multi-scale texture; rendering
+is exact ray-plane intersection + bilinear texture sampling, so ATE against
+the generating poses is a true accuracy metric. Pure NumPy (host-side, test
+infrastructure only).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+
+def make_texture(rng, size=2048):
+    """Multi-scale blob texture with diverse corner contrasts (keypoint
+    selection needs a non-degenerate response landscape)."""
+    tex = rng.uniform(20, 60, size=(size, size)).astype(np.float32)
+    for blob_size, count in [(48, 300), (24, 900), (12, 2500), (6, 5000)]:
+        ys = rng.integers(0, size - blob_size, count)
+        xs = rng.integers(0, size - blob_size, count)
+        amps = rng.uniform(30, 195, count) * rng.choice([-1, 1], count)
+        for y, x, a in zip(ys, xs, amps):
+            tex[y:y + blob_size, x:x + blob_size] += a
+    return np.clip(tex, 0, 255).astype(np.float32)
+
+
+class PlaneWorld:
+    def __init__(self, fx, fy, cx, cy, width, height, z0=5.0,
+                 tex_size=2048, tex_scale=60.0, seed=42):
+        """tex_scale: texture pixels per world unit."""
+        self.fx, self.fy, self.cx, self.cy = fx, fy, cx, cy
+        self.w, self.h = width, height
+        self.z0 = z0
+        self.tex = make_texture(np.random.default_rng(seed), tex_size)
+        self.tex_scale = tex_scale
+        self.tex_size = tex_size
+
+    def render(self, T_wc):
+        """T_wc: camera-to-world (4,4). Returns (H,W) float32 gray image."""
+        img, _ = self._render(T_wc)
+        return img
+
+    def render_with_depth(self, T_wc):
+        return self._render(T_wc)
+
+    def _render(self, T_wc):
+        R = T_wc[:3, :3]
+        c = T_wc[:3, 3]
+        us, vs = np.meshgrid(np.arange(self.w), np.arange(self.h))
+        d_cam = np.stack([(us - self.cx) / self.fx,
+                          (vs - self.cy) / self.fy,
+                          np.ones_like(us, dtype=np.float64)], axis=-1)
+        d_world = d_cam @ R.T
+        dz = d_world[..., 2]
+        dz = np.where(np.abs(dz) < 1e-9, 1e-9, dz)
+        t = (self.z0 - c[2]) / dz
+        hit = c[None, None, :] + t[..., None] * d_world
+        depth = t * d_cam[..., 2] * 0 + t  # ray parameter; depth = t * |unit?|
+        # camera-frame z of the hit point:
+        p_cam = (hit - c) @ R  # world->cam rotation is R^T; (hit-c)@R == R^T p
+        zc = p_cam[..., 2]
+
+        tx = hit[..., 0] * self.tex_scale + self.tex_size / 2
+        ty = hit[..., 1] * self.tex_scale + self.tex_size / 2
+        img = self._sample(tx, ty)
+        img = np.where((t > 0), img, 0.0)
+        zc = np.where(t > 0, zc, 0.0)
+        return img.astype(np.float32), zc.astype(np.float32)
+
+    def _sample(self, tx, ty):
+        tx = np.clip(tx, 0, self.tex_size - 2)
+        ty = np.clip(ty, 0, self.tex_size - 2)
+        x0 = np.floor(tx).astype(np.int64)
+        y0 = np.floor(ty).astype(np.int64)
+        fx = tx - x0
+        fy = ty - y0
+        t = self.tex
+        return ((t[y0, x0] * (1 - fx) + t[y0, x0 + 1] * fx) * (1 - fy) +
+                (t[y0 + 1, x0] * (1 - fx) + t[y0 + 1, x0 + 1] * fx) * fy)
+
+
+def lateral_trajectory(n_frames, step=0.02, yaw_rate=0.0):
+    """Camera-to-world poses translating along +x, optional yaw."""
+    poses = []
+    for i in range(n_frames):
+        yaw = yaw_rate * i
+        R = np.array([[np.cos(yaw), 0, np.sin(yaw)],
+                      [0, 1, 0],
+                      [-np.sin(yaw), 0, np.cos(yaw)]])
+        T = np.eye(4)
+        T[:3, :3] = R
+        T[:3, 3] = [step * i, 0.002 * i, 0.001 * np.sin(i * 0.3)]
+        poses.append(T)
+    return poses
+
+
+def ate_rmse(est_poses, gt_poses, align=True, with_scale=False):
+    """Absolute trajectory error after (optional) Umeyama alignment.
+
+    est_poses/gt_poses: lists of (4,4) T_wc. Replicates the TUM benchmark
+    evaluation pointed to by the reference (`include/System.h:130`)."""
+    est = np.array([T[:3, 3] for T in est_poses])
+    gt = np.array([T[:3, 3] for T in gt_poses])
+    assert est.shape == gt.shape and len(est) >= 2
+    if align:
+        mu_e = est.mean(0)
+        mu_g = gt.mean(0)
+        ec = est - mu_e
+        gc = gt - mu_g
+        H = ec.T @ gc
+        U, S, Vt = np.linalg.svd(H)
+        D = np.eye(3)
+        if np.linalg.det(U @ Vt) < 0:
+            D[2, 2] = -1
+        R = Vt.T @ D @ U.T
+        if with_scale:
+            s = np.trace(np.diag(S) @ D) / np.sum(ec ** 2)
+        else:
+            s = 1.0
+        est = (s * (R @ ec.T)).T + mu_g
+        gt = gc + mu_g
+    err = np.linalg.norm(est - gt, axis=1)
+    return float(np.sqrt(np.mean(err ** 2)))
