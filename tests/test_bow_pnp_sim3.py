@@ -1,0 +1,155 @@
+import numpy as np
+import jax.numpy as jnp
+
+from orb_slam2_tpu.bow import vocabulary as vocab_mod
+from orb_slam2_tpu.bow import database as db_mod
+from orb_slam2_tpu.geometry import se3, sim3
+from orb_slam2_tpu.solvers import pnp, sim3_solver
+
+LEVEL_SIGMA2 = [1.2 ** (2 * i) for i in range(8)]
+
+
+def rand_desc(rng, n):
+    return rng.integers(0, 2**32, size=(n, 8), dtype=np.uint32)
+
+
+def perturb_desc(rng, desc, n_bits):
+    """Flip n_bits random bits per descriptor."""
+    out = desc.copy()
+    for i in range(len(out)):
+        for b in rng.choice(256, n_bits, replace=False):
+            out[i, b // 32] ^= np.uint32(1) << np.uint32(b % 32)
+    return out
+
+
+class TestVocabulary:
+    def test_transform_finds_nearest_word(self, rng):
+        train = rand_desc(rng, 2000)
+        voc = vocab_mod.build_vocabulary(train, k=5, depth=3)
+        assert voc.n_words > 50
+        q = train[:32]
+        word, weight, node = vocab_mod.transform(voc, jnp.asarray(q), jnp.ones(32, bool))
+        w = np.asarray(word)
+        assert (w >= 0).all()
+        # same descriptor -> same word; slightly perturbed -> usually same word
+        q2 = perturb_desc(rng, q, 8)
+        word2, _, _ = vocab_mod.transform(voc, jnp.asarray(q2), jnp.ones(32, bool))
+        same = (np.asarray(word2) == w).mean()
+        assert same > 0.5, same
+
+    def test_bow_similarity_orders_frames(self, rng):
+        train = rand_desc(rng, 3000)
+        voc = vocab_mod.build_vocabulary(train, k=8, depth=4)
+        a = train[:200]
+        b = perturb_desc(rng, a, 12)       # same place, noisy
+        c = rand_desc(rng, 200)            # different place
+        vecs = []
+        for d in (a, b, c):
+            word, weight, _ = vocab_mod.transform(voc, jnp.asarray(d), jnp.ones(200, bool))
+            vecs.append(vocab_mod.bow_vector(word, weight, voc.n_words))
+        s_ab = float(vocab_mod.l1_score(vecs[0], vecs[1]))
+        s_ac = float(vocab_mod.l1_score(vecs[0], vecs[2]))
+        assert s_ab > 3 * s_ac, (s_ab, s_ac)
+
+    def test_database_query(self, rng):
+        train = rand_desc(rng, 3000)
+        voc = vocab_mod.build_vocabulary(train, k=6, depth=3)
+        db = db_mod.BowDatabase.empty(8, voc.n_words)
+        frames = [rand_desc(rng, 150) for _ in range(4)]
+        vecs = []
+        for i, d in enumerate(frames):
+            word, weight, _ = vocab_mod.transform(voc, jnp.asarray(d), jnp.ones(150, bool))
+            v = vocab_mod.bow_vector(word, weight, voc.n_words)
+            vecs.append(v)
+            db = db.add(i, v)
+        # query with a noisy copy of frame 2
+        q = perturb_desc(rng, frames[2], 10)
+        word, weight, _ = vocab_mod.transform(voc, jnp.asarray(q), jnp.ones(150, bool))
+        qv = vocab_mod.bow_vector(word, weight, voc.n_words)
+        scores, shared = db_mod.query_scores(db, qv)
+        assert int(np.argmax(np.asarray(scores)[:4])) == 2
+
+
+class TestPnP:
+    def test_recovers_pose(self, rng):
+        n = 120
+        Xw = np.stack([rng.uniform(-3, 3, n), rng.uniform(-2, 2, n),
+                       rng.uniform(4, 10, n)], -1).astype(np.float32)
+        T = np.asarray(se3.exp(jnp.asarray([0.3, -0.1, 0.2, 0.05, -0.08, 0.1])))
+        pc = Xw @ T[:3, :3].T + T[:3, 3]
+        uv = np.stack([500 * pc[:, 0] / pc[:, 2] + 320,
+                       500 * pc[:, 1] / pc[:, 2] + 240], -1).astype(np.float32)
+        res = pnp.ransac_pnp(jnp.asarray(Xw), jnp.asarray(uv),
+                             jnp.zeros(n, jnp.int32), jnp.ones(n, bool),
+                             LEVEL_SIGMA2, 500.0, 500.0, 320.0, 240.0)
+        assert bool(res.ok)
+        assert int(res.n_inliers) > 100
+        np.testing.assert_allclose(np.asarray(res.Tcw), T, atol=0.02)
+
+    def test_with_outliers(self, rng):
+        n = 150
+        Xw = np.stack([rng.uniform(-3, 3, n), rng.uniform(-2, 2, n),
+                       rng.uniform(4, 10, n)], -1).astype(np.float32)
+        T = np.asarray(se3.exp(jnp.asarray([0.2, 0.1, -0.1, 0.03, 0.05, -0.02])))
+        pc = Xw @ T[:3, :3].T + T[:3, 3]
+        uv = np.stack([500 * pc[:, 0] / pc[:, 2] + 320,
+                       500 * pc[:, 1] / pc[:, 2] + 240], -1).astype(np.float32)
+        uv[:40] += rng.uniform(30, 120, (40, 2))       # 27% outliers
+        res = pnp.ransac_pnp(jnp.asarray(Xw), jnp.asarray(uv),
+                             jnp.zeros(n, jnp.int32), jnp.ones(n, bool),
+                             LEVEL_SIGMA2, 500.0, 500.0, 320.0, 240.0)
+        assert bool(res.ok)
+        inl = np.asarray(res.inliers)
+        assert inl[:40].sum() <= 2
+        np.testing.assert_allclose(np.asarray(res.Tcw), T, atol=0.03)
+
+
+class TestSim3:
+    def test_recovers_similarity(self, rng):
+        n = 80
+        p2 = np.stack([rng.uniform(-2, 2, n), rng.uniform(-2, 2, n),
+                       rng.uniform(3, 8, n)], -1).astype(np.float32)
+        R = np.asarray(se3.so3_exp(jnp.asarray([0.1, -0.2, 0.15])))
+        s = 1.4
+        t = np.array([0.5, -0.2, 0.3], np.float32)
+        p1 = (s * (p2 @ R.T) + t).astype(np.float32)
+        res = sim3_solver.ransac_sim3(
+            jnp.asarray(p1), jnp.asarray(p2),
+            jnp.zeros(n, jnp.int32), jnp.zeros(n, jnp.int32),
+            jnp.ones(n, bool), LEVEL_SIGMA2, 500.0, 500.0, 320.0, 240.0)
+        assert bool(res.ok)
+        np.testing.assert_allclose(float(res.g12.s), s, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(res.g12.R), R, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(res.g12.t), t, atol=1e-2)
+
+    def test_fix_scale(self, rng):
+        n = 60
+        p2 = np.stack([rng.uniform(-2, 2, n), rng.uniform(-2, 2, n),
+                       rng.uniform(3, 8, n)], -1).astype(np.float32)
+        R = np.asarray(se3.so3_exp(jnp.asarray([0.05, 0.1, -0.08])))
+        t = np.array([0.3, 0.1, -0.2], np.float32)
+        p1 = (p2 @ R.T + t).astype(np.float32)
+        res = sim3_solver.ransac_sim3(
+            jnp.asarray(p1), jnp.asarray(p2),
+            jnp.zeros(n, jnp.int32), jnp.zeros(n, jnp.int32),
+            jnp.ones(n, bool), LEVEL_SIGMA2, 500.0, 500.0, 320.0, 240.0,
+            fix_scale=True)
+        assert bool(res.ok)
+        assert float(res.g12.s) == 1.0
+        np.testing.assert_allclose(np.asarray(res.g12.R), R, atol=1e-3)
+
+    def test_outliers_rejected(self, rng):
+        n = 80
+        p2 = np.stack([rng.uniform(-2, 2, n), rng.uniform(-2, 2, n),
+                       rng.uniform(3, 8, n)], -1).astype(np.float32)
+        R = np.asarray(se3.so3_exp(jnp.asarray([0.1, -0.1, 0.05])))
+        p1 = (1.2 * (p2 @ R.T) + np.array([0.4, 0, 0.2])).astype(np.float32)
+        p1[:20] += rng.uniform(1, 3, (20, 3))
+        res = sim3_solver.ransac_sim3(
+            jnp.asarray(p1), jnp.asarray(p2),
+            jnp.zeros(n, jnp.int32), jnp.zeros(n, jnp.int32),
+            jnp.ones(n, bool), LEVEL_SIGMA2, 500.0, 500.0, 320.0, 240.0)
+        assert bool(res.ok)
+        inl = np.asarray(res.inliers)
+        assert inl[:20].sum() <= 2
+        np.testing.assert_allclose(float(res.g12.s), 1.2, atol=0.02)

@@ -1,0 +1,55 @@
+"""End-to-end pipeline tests on the synthetic plane world (small configs to
+keep CPU compile times down)."""
+import numpy as np
+import pytest
+
+from orb_slam2_tpu.utils.config import (SlamConfig, SENSOR_MONOCULAR,
+                                        SENSOR_RGBD)
+from orb_slam2_tpu.utils.synthetic import PlaneWorld, lateral_trajectory, ate_rmse
+from orb_slam2_tpu.pipeline.system import SlamSystem
+
+
+def small_cfg(sensor, **kw):
+    fx = 300.0
+    base = dict(
+        fx=fx, fy=fx, cx=160.0, cy=120.0, width=320, height=240,
+        n_features=400, fps=10.0, th_depth=60.0, sensor=sensor,
+        bf=fx * 0.1 if sensor != SENSOR_MONOCULAR else 0.0,
+        max_keyframes=32, max_map_points=1 << 13,
+        ba_local_cams=8, ba_fixed_cams=8, ba_max_points=1 << 10, ba_max_obs=6,
+        max_local_keyframes=16, max_local_points=1 << 11,
+    )
+    base.update(kw)
+    return SlamConfig(**base)
+
+
+@pytest.mark.slow
+class TestEndToEnd:
+    def test_rgbd_tracks_and_low_ate(self):
+        cfg = small_cfg(SENSOR_RGBD)
+        world = PlaneWorld(cfg.fx, cfg.fy, cfg.cx, cfg.cy, 320, 240, z0=4.0)
+        gt = lateral_trajectory(16, step=0.04, yaw_rate=0.004)
+        s = SlamSystem(cfg)
+        for i, T in enumerate(gt):
+            img, depth = world.render_with_depth(T)
+            s.track_rgbd(img, depth, i * 0.1)
+        traj = s.get_trajectory()
+        assert len(traj) == len(gt)
+        est = [T for _, T in traj]
+        rmse = ate_rmse(est, gt[: len(est)])
+        assert rmse < 0.05, rmse
+        assert int(s.m.n_points) > 200
+
+    def test_mono_initializes_and_tracks(self):
+        cfg = small_cfg(SENSOR_MONOCULAR, n_features=1000)
+        world = PlaneWorld(cfg.fx, cfg.fy, cfg.cx, cfg.cy, 320, 240, z0=4.0)
+        gt = lateral_trajectory(12, step=0.05, yaw_rate=0.0)
+        s = SlamSystem(cfg)
+        for i, T in enumerate(gt):
+            s.track_monocular(world.render(T), i * 0.1)
+        traj = s.get_trajectory()
+        assert len(traj) >= len(gt) - 3     # init consumes a couple of frames
+        est = [T for _, T in traj]
+        gtp = gt[len(gt) - len(est):]
+        rmse = ate_rmse(est, gtp, with_scale=True)
+        assert rmse < 0.12, rmse
