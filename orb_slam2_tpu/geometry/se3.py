@@ -44,11 +44,16 @@ def so3_exp(w):
 
 
 def so3_log(R):
-    """(...,3,3) rotation -> (...,3) axis-angle."""
+    """(...,3,3) rotation -> (...,3) axis-angle.
+
+    Written to be forward-mode-differentiation-safe at the identity (the
+    pose-graph optimizer linearizes log at residual == 0): the small-angle
+    branch only touches polynomial functions of sin^2(theta), never
+    sqrt/arccos at their singular points.
+    """
     trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
     cos_t = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
-    theta = jnp.arccos(cos_t)
-    # vee of the antisymmetric part
+    # vee of the antisymmetric part: v = 2 sin(theta) * axis
     v = jnp.stack(
         [
             R[..., 2, 1] - R[..., 1, 2],
@@ -57,21 +62,22 @@ def so3_log(R):
         ],
         axis=-1,
     )
-    sin_t = jnp.sin(theta)
-    # near 0: v/2 ; generic: theta/(2 sin) * v ; near pi: fall back to sqrt of diagonal
-    small = theta < 1e-5
-    scale = jnp.where(small, 0.5 + theta * theta / 12.0, theta / jnp.where(jnp.abs(sin_t) < _EPS, 1.0, 2.0 * sin_t))
-    w = scale[..., None] * v
-    # theta ~= pi: |v| ~ 0 but rotation is large. Use diagonal formula.
-    near_pi = theta > jnp.pi - 1e-3
+    s2 = 0.25 * jnp.sum(v * v, axis=-1)      # sin^2(theta), tangent-clean
+    small = s2 < 1e-10
+    sin_t = jnp.sqrt(jnp.where(small, 1.0, s2))
+    theta = jnp.arctan2(sin_t, cos_t)
+    scale_generic = theta / (2.0 * sin_t)
+    scale_small = 0.5 + s2 / 12.0            # theta ~ 0 Taylor in sin^2
+    w = jnp.where(small, scale_small, scale_generic)[..., None] * v
+    # theta ~= pi: |v| ~ 0 but the rotation is large -> diagonal formula
+    near_pi = cos_t < -0.999999
     diag = jnp.stack([R[..., 0, 0], R[..., 1, 1], R[..., 2, 2]], axis=-1)
-    axis_sq = jnp.maximum((diag - cos_t[..., None]) / jnp.where(jnp.abs(1.0 - cos_t) < _EPS, 1.0, (1.0 - cos_t))[..., None], 0.0)
-    axis = jnp.sqrt(axis_sq)
-    # fix signs from off-diagonal sums
+    one_m_c = jnp.where(jnp.abs(1.0 - cos_t) < _EPS, 1.0, 1.0 - cos_t)
+    axis = jnp.sqrt(jnp.maximum((diag - cos_t[..., None]) / one_m_c[..., None], 1e-12))
     s0 = R[..., 2, 1] - R[..., 1, 2]
     s1 = R[..., 0, 2] - R[..., 2, 0]
-    s2 = R[..., 1, 0] - R[..., 0, 1]
-    sgn = jnp.stack([jnp.where(s0 >= 0, 1.0, -1.0), jnp.where(s1 >= 0, 1.0, -1.0), jnp.where(s2 >= 0, 1.0, -1.0)], axis=-1)
+    s2o = R[..., 1, 0] - R[..., 0, 1]
+    sgn = jnp.stack([jnp.where(s0 >= 0, 1.0, -1.0), jnp.where(s1 >= 0, 1.0, -1.0), jnp.where(s2o >= 0, 1.0, -1.0)], axis=-1)
     w_pi = axis * sgn * theta[..., None]
     return jnp.where(near_pi[..., None], w_pi, w)
 

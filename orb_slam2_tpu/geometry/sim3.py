@@ -58,41 +58,52 @@ def apply(g: Sim3, p):
 
 
 def exp(zeta):
-    """(...,7) = (rho, phi, sigma) -> Sim3. Matches Strasdat/g2o Sim3 exp."""
+    """(...,7) = (rho, phi, sigma) -> Sim3. Matches Strasdat/g2o Sim3 exp
+    (t = V rho with V = I_coef*I + W_coef*W + W2_coef*W^2; the four
+    small/large sigma x theta cases follow Sophus' calcW, each written so the
+    SELECTED branch is forward-mode-differentiation-safe at its limit)."""
     rho = zeta[..., :3]
     phi = zeta[..., 3:6]
     sigma = zeta[..., 6]
     s = jnp.exp(sigma)
     R = se3.so3_exp(phi)
     theta2 = jnp.sum(phi * phi, axis=-1)
-    theta = jnp.sqrt(jnp.maximum(theta2, 0.0))
     W = se3.hat(phi)
     I = jnp.broadcast_to(jnp.eye(3, dtype=zeta.dtype), W.shape)
 
-    eps = 1e-6
+    eps = 1e-5
     sig_small = jnp.abs(sigma) < eps
-    th_small = theta < eps
+    th_small = theta2 < eps * eps
     sigma_safe = jnp.where(sig_small, 1.0, sigma)
-    theta_safe = jnp.where(th_small, 1.0, theta)
+    theta2_safe = jnp.where(th_small, 1.0, theta2)
+    theta = jnp.sqrt(theta2_safe)          # only used in non-small branches
 
-    # W-coefficients of V = A*I + B*W + C*W^2 (Strasdat thesis, eq. for Sim3 V)
-    A_ss = jnp.where(sig_small, 1.0, (s - 1.0) / sigma_safe)  # both small-theta cases share this
-    c = jnp.where(sig_small, 1.0, (s - 1.0) / sigma_safe)
+    sin_t = jnp.sin(theta)
+    cos_t = jnp.cos(theta)
+    a = s * sin_t
+    b = s * cos_t
+    c2 = theta2_safe + sigma_safe * sigma_safe
 
-    a_gen = s * jnp.sin(theta)
-    b_gen = s * jnp.cos(theta)
-    denom_gen = sigma_safe * sigma_safe + theta2
-    A_gen = (a_gen * sigma_safe + (1.0 - b_gen) * theta_safe) / (theta_safe * denom_gen)
-    B_gen = (c - ((b_gen - 1.0) * sigma_safe + a_gen * theta_safe) / denom_gen) / theta2.clip(eps**2)
+    I_coef = jnp.where(sig_small, 1.0, (s - 1.0) / sigma_safe)
 
-    A_sig0 = jnp.where(th_small, 0.5, (1.0 - jnp.cos(theta)) / theta2.clip(eps**2))
-    B_sig0 = jnp.where(th_small, 1.0 / 6.0, (theta - jnp.sin(theta)) / (theta2 * theta_safe).clip(eps**3))
+    W_sig0 = jnp.where(th_small, 0.5 - theta2 / 24.0,
+                       (1.0 - cos_t) / theta2_safe)
+    W_sig = jnp.where(th_small,
+                      ((sigma_safe - 1.0) * s + 1.0) / (sigma_safe * sigma_safe),
+                      (a * sigma_safe + (1.0 - b) * theta) / (theta * c2))
+    W_coef = jnp.where(sig_small, W_sig0, W_sig)
 
-    B_coef = jnp.where(sig_small, A_sig0, A_gen)  # coefficient of W
-    C_coef = jnp.where(sig_small, B_sig0, B_gen)  # coefficient of W^2
-    A_coef = jnp.where(sig_small, jnp.where(th_small, 1.0, 1.0), c)
+    W2_sig0 = jnp.where(th_small, 1.0 / 6.0 - theta2 / 120.0,
+                        (theta - sin_t) / (theta2_safe * theta))
+    W2_sig = jnp.where(
+        th_small,
+        ((0.5 * sigma_safe * sigma_safe - sigma_safe + 1.0) * s - 1.0)
+        / (sigma_safe ** 3),
+        (I_coef - ((b - 1.0) * sigma_safe + a * theta) / c2) / theta2_safe)
+    W2_coef = jnp.where(sig_small, W2_sig0, W2_sig)
 
-    V = A_coef[..., None, None] * I + B_coef[..., None, None] * W + C_coef[..., None, None] * (W @ W)
+    V = I_coef[..., None, None] * I + W_coef[..., None, None] * W + \
+        W2_coef[..., None, None] * (W @ W)
     t = jnp.einsum("...ij,...j->...i", V, rho)
     return Sim3(R, t, s)
 

@@ -1,10 +1,18 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from orb_slam2_tpu.geometry import se3, sim3, camera
 
-jax.config.update("jax_enable_x64", True)
+
+@pytest.fixture(autouse=True, scope="module")
+def _x64():
+    """These tests check Lie-group identities at f64 precision; restore f32
+    afterwards so the rest of the suite runs at production dtype."""
+    jax.config.update("jax_enable_x64", True)
+    yield
+    jax.config.update("jax_enable_x64", False)
 
 
 def random_rotation(rng, n=()):
