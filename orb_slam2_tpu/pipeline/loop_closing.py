@@ -1,0 +1,324 @@
+"""Loop detection and correction.
+
+Replaces `LoopClosing` (`src/LoopClosing.cc`) as pure functions the System
+calls after each keyframe insertion (the reference's thread 3):
+
+1. detect_loop:   BoW candidates with the 3-consecutive-group consistency
+                  gate (`DetectLoop`, `:137-285`);
+2. compute_sim3:  descriptor matching + Horn Sim3 RANSAC + acceptance
+                  (`ComputeSim3`, `:298-541`; the guided SearchBySim3 round
+                  is folded into the dense matcher);
+3. correct_loop:  Sim3 propagation to the covisible group, map-point
+                  re-expression, loop-point fusion, essential-graph
+                  optimization, global BA (`CorrectLoop`, `:551-786`).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..geometry import se3, sim3
+from ..geometry.sim3 import Sim3
+from ..mapstate import map as mapstate
+from ..ops import matching
+from ..solvers import sim3_solver, pose_graph, schur_ba
+from ..parallel import sharded_ba
+from ..utils.config import SlamConfig, SENSOR_MONOCULAR
+from . import mapping_ops
+
+INVALID = -1
+
+
+class LoopState:
+    """Host-side consistency-group tracking (`mvConsistentGroups`)."""
+
+    def __init__(self):
+        self.consistent_groups = []   # list of (set(kf_ids), consistency)
+        self.last_loop_kf_seq = 0
+
+    def reset(self):
+        self.consistent_groups = []
+        self.last_loop_kf_seq = 0
+
+
+def detect_loop(cfg: SlamConfig, m: mapstate.MapState, db, bow_vec, kf_id: int,
+                state: LoopState, kf_seq: int):
+    """Returns a loop-candidate kf id or None. Mirrors the reference gates:
+    >=10 keyframes since the last loop, min-score vs covisible neighbors,
+    shared-word + accumulated-score candidates, 3-consecutive-group
+    consistency."""
+    from ..bow import database as db_mod
+    from ..bow import vocabulary as voc_mod
+
+    if kf_seq - state.last_loop_kf_seq < cfg.loop_kf_gap:
+        return None
+
+    # minScore: lowest BoW similarity to the covisibility neighbors
+    covis_row = np.asarray(m.covis[kf_id])
+    neighbors = np.nonzero((covis_row >= cfg.min_covis_weight) &
+                           np.asarray(m.kf_valid))[0]
+    if len(neighbors) == 0:
+        return None
+    scores_all, _ = db_mod.query_scores(db, bow_vec)
+    scores_all = np.asarray(scores_all)
+    min_score = max(float(scores_all[neighbors].min()), 1e-6)
+
+    exclude = np.zeros(m.capacity_kf, bool)
+    exclude[kf_id] = True
+    exclude[neighbors] = True
+    exclude |= covis_row > 0   # all connected KFs excluded
+    cand_mask, acc = db_mod.detect_candidates(
+        db, bow_vec, jnp.asarray(exclude), min_score, m.covis)
+    cand_ids = np.nonzero(np.asarray(cand_mask))[0]
+    if len(cand_ids) == 0:
+        state.consistent_groups = []
+        return None
+
+    # consistency groups: each candidate's group = itself + covis neighbors;
+    # count consecutive detections sharing a member (th = 3)
+    covis_np = np.asarray(m.covis)
+    new_groups = []
+    best_candidate = None
+    for c in cand_ids:
+        group = set(np.nonzero(covis_np[c] > 0)[0].tolist()) | {int(c)}
+        consistency = 0
+        for prev_group, prev_cons in state.consistent_groups:
+            if group & prev_group:
+                consistency = max(consistency, prev_cons + 1)
+        new_groups.append((group, consistency))
+        if consistency >= cfg.covis_consistency_th and best_candidate is None:
+            best_candidate = int(c)
+    state.consistent_groups = new_groups
+    return best_candidate
+
+
+def compute_sim3(cfg: SlamConfig, m: mapstate.MapState, kf_id: int,
+                 cand_id: int):
+    """Match map points between the two keyframes and solve Sim3
+    (`ComputeSim3`): returns (ok, Scm) with Scm mapping candidate-camera
+    points into current-camera coordinates."""
+    N = m.n_feat
+    # descriptor matching between bound features of both KFs (SearchByBoW)
+    f_ok1 = m.kf_feat_valid[kf_id] & (m.kf_obs[kf_id] >= 0)
+    f_ok2 = m.kf_feat_valid[cand_id] & (m.kf_obs[cand_id] >= 0)
+    mm = matching.search_by_node(
+        jnp.where(f_ok1, 0, -1), m.kf_desc[kf_id], f_ok1, m.kf_angle[kf_id],
+        jnp.where(f_ok2, 0, -1), m.kf_desc[cand_id], f_ok2,
+        m.kf_angle[cand_id], nn_ratio=0.75)
+    n_matches = int(jnp.sum(mm.valid))
+    if n_matches < 20:
+        return False, None, None
+
+    # matched map points in each camera frame
+    pt1 = m.kf_obs[kf_id]
+    pt2 = m.kf_obs[cand_id][jnp.clip(mm.idx, 0, N - 1)]
+    P = m.capacity_pt
+    pos1 = m.pt_pos[jnp.clip(pt1, 0, P - 1)]
+    pos2 = m.pt_pos[jnp.clip(pt2, 0, P - 1)]
+    pc1 = se3.apply(m.kf_pose[kf_id], pos1)
+    pc2 = se3.apply(m.kf_pose[cand_id], pos2)
+    valid = mm.valid & (pt1 >= 0) & (pt2 >= 0) & \
+        m.pt_valid[jnp.clip(pt1, 0, P - 1)] & m.pt_valid[jnp.clip(pt2, 0, P - 1)]
+
+    res = sim3_solver.ransac_sim3(
+        pc1, pc2, m.kf_level[kf_id], m.kf_level[cand_id][jnp.clip(mm.idx, 0, N - 1)],
+        valid, cfg.level_sigma2, cfg.fx, cfg.fy, cfg.cx, cfg.cy,
+        fix_scale=cfg.sensor != SENSOR_MONOCULAR)
+    if not bool(res.ok):
+        return False, None, None
+    return True, res.g12, int(res.n_inliers)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _propagate_and_fuse(cfg: SlamConfig, m: mapstate.MapState, kf_id, cand_id,
+                        Scm: Sim3):
+    """Sim3 propagation to the current covisible group + loop point fusion
+    (CorrectLoop's mMutexMapUpdate block, `src/LoopClosing.cc:586-731`)."""
+    K = m.capacity_kf
+    P = m.capacity_pt
+
+    # corrected current-KF pose: Scw = Scm * Tmw(candidate)
+    S_cand = Sim3.from_se3(m.kf_pose[cand_id])
+    Scw = sim3.compose(Scm, S_cand)                     # corrected Siw of kf_id
+
+    # group: current KF + its covisible neighbors
+    group = (m.covis[kf_id] > 0) & m.kf_valid
+    group = group.at[kf_id].set(True)
+
+    Tiw = m.kf_pose                                      # (K,4,4)
+    Tic = jnp.einsum("kij,jl->kil", Tiw, se3.inverse(m.kf_pose[kf_id]))
+    S_ic = Sim3.from_se3(Tic)
+    S_corr = sim3.compose(S_ic, Scw)                     # corrected Siw per KF
+
+    # re-express map points seen by the group: p' = S_corr^-1(S_old(p))
+    S_old = Sim3.from_se3(Tiw)
+    seen_by_group = jnp.zeros((P,), bool).at[
+        jnp.where(group[:, None] & (m.kf_obs >= 0), m.kf_obs, P)
+    ].set(True, mode="drop") & m.pt_valid
+    # each point corrected via its reference keyframe if in group, else kf_id
+    ref = jnp.clip(m.pt_ref_kf, 0, K - 1)
+    use_ref = group[ref]
+    corr_kf = jnp.where(use_ref, ref, kf_id)
+    g_old = jax.tree.map(lambda x: x[corr_kf], S_old)
+    g_new = jax.tree.map(lambda x: x[corr_kf], S_corr)
+    p_cam = sim3.apply(g_old, m.pt_pos)
+    p_new = sim3.apply(sim3.inverse(g_new), p_cam)
+    m = m._replace(pt_pos=jnp.where(seen_by_group[:, None], p_new, m.pt_pos))
+
+    # write corrected SE3 poses for the group
+    T_corr = S_corr.to_se3()
+    m = m._replace(kf_pose=jnp.where(group[:, None, None], T_corr, m.kf_pose))
+    return m, group
+
+
+def correct_loop(cfg: SlamConfig, m: mapstate.MapState, kf_id: int,
+                 cand_id: int, Scm: Sim3, mesh=None):
+    """Full loop correction. Returns the updated map."""
+    # 1. Sim3 propagation + map point re-expression
+    pose_before = m.kf_pose  # snapshot for essential-graph measurements
+    m, group = _propagate_and_fuse(cfg, m, kf_id, cand_id, Scm)
+
+    # 2. fuse loop points: project candidate's neighborhood points into the
+    # current group keyframes (SearchAndFuse with th=4)
+    cand_group = np.nonzero(np.asarray(
+        (m.covis[cand_id] > 0) & m.kf_valid))[0].tolist() + [cand_id]
+    loop_pts = jnp.full((m.capacity_pt,), False)
+    for k in cand_group[:10]:
+        row = m.kf_obs[int(k)]
+        loop_pts = loop_pts.at[jnp.where(row >= 0, row, m.capacity_pt)].set(
+            True, mode="drop")
+    loop_pt_ids = jnp.nonzero(loop_pts, size=m.capacity_pt // 4,
+                              fill_value=INVALID)[0]
+    for k in np.nonzero(np.asarray(group))[0]:
+        m = mapping_ops.fuse_into_keyframe(
+            cfg, m, int(k), loop_pt_ids, loop_pt_ids >= 0)
+
+    # 3. essential-graph optimization over all keyframes
+    m = _essential_graph(cfg, m, pose_before, kf_id, cand_id, group)
+
+    # 4. global BA (the reference spawns a thread; we run it synchronously,
+    # optionally sharded over a device mesh)
+    m = run_global_ba(cfg, m, mesh=mesh)
+    return m
+
+
+def _essential_graph(cfg: SlamConfig, m: mapstate.MapState, pose_before,
+                     kf_id: int, cand_id: int, group):
+    """Build + solve the Sim3 pose graph (`OptimizeEssentialGraph`,
+    `src/Optimizer.cc:1069-1404`): spanning-tree edges, high-covisibility
+    edges (w >= 100), and the new loop edge; measurements from pre-correction
+    poses except the loop edge."""
+    K = m.capacity_kf
+    valid = np.asarray(m.kf_valid)
+    covis = np.asarray(m.covis)
+    parent = np.asarray(m.parent)
+    group_np = np.asarray(group)
+
+    edges = []
+    # spanning tree
+    for k in range(K):
+        if valid[k] and parent[k] >= 0 and valid[parent[k]]:
+            edges.append((k, int(parent[k])))
+    # high-covisibility edges
+    th = cfg.essential_graph_min_feat
+    for i in range(K):
+        if not valid[i]:
+            continue
+        for j in np.nonzero(covis[i] >= th)[0]:
+            if j > i and valid[j]:
+                edges.append((int(i), int(j)))
+    # loop edge
+    edges.append((kf_id, cand_id))
+    seen = set()
+    uniq = []
+    for e in edges:
+        key = (min(e), max(e))
+        if key not in seen:
+            seen.add(key)
+            uniq.append(e)
+    E = max(16, 1 << int(np.ceil(np.log2(len(uniq) + 1))))
+
+    pose_b = np.asarray(pose_before)
+    pose_a = np.asarray(m.kf_pose)
+    ei = np.zeros(E, np.int32)
+    ej = np.zeros(E, np.int32)
+    ev = np.zeros(E, bool)
+    mR = np.tile(np.eye(3, dtype=np.float32), (E, 1, 1))
+    mt = np.zeros((E, 3), np.float32)
+    ms = np.ones(E, np.float32)
+    for n, (i, j) in enumerate(uniq):
+        ei[n], ej[n], ev[n] = i, j, True
+        # measurement Sji from post-correction poses where both corrected,
+        # else pre-correction (reference uses NonCorrectedSim3 map)
+        use_after = group_np[i] and group_np[j]
+        Pi = pose_a[i] if use_after else pose_b[i]
+        Pj = pose_a[j] if use_after else pose_b[j]
+        rel = Pj @ np.linalg.inv(Pi)
+        mR[n] = rel[:3, :3]
+        mt[n] = rel[:3, 3]
+
+    nodes = Sim3.from_se3(m.kf_pose)
+    node_fixed = np.zeros(K, bool)
+    node_fixed[cand_id] = True
+
+    prob = pose_graph.PoseGraphProblem(
+        nodes=nodes, node_valid=m.kf_valid, node_fixed=jnp.asarray(node_fixed),
+        edge_i=jnp.asarray(ei), edge_j=jnp.asarray(ej),
+        edge_meas=Sim3(jnp.asarray(mR), jnp.asarray(mt), jnp.asarray(ms)),
+        edge_valid=jnp.asarray(ev))
+    out = pose_graph.optimize_pose_graph(
+        prob, n_iters=20, fix_scale=cfg.sensor != SENSOR_MONOCULAR)
+
+    # write back: poses from Sim3 (t/s), points re-expressed via ref KF
+    T_new = out.to_se3()
+    S_old = Sim3.from_se3(m.kf_pose)
+    ref = jnp.clip(m.pt_ref_kf, 0, K - 1)
+    g_old = jax.tree.map(lambda x: x[ref], S_old)
+    g_new = jax.tree.map(lambda x: x[ref], out)
+    p_cam = sim3.apply(g_old, m.pt_pos)
+    p_new = sim3.apply(sim3.inverse(g_new), p_cam)
+    m = m._replace(
+        kf_pose=jnp.where(m.kf_valid[:, None, None], T_new, m.kf_pose),
+        pt_pos=jnp.where(m.pt_valid[:, None], p_new, m.pt_pos))
+    return m
+
+
+def run_global_ba(cfg: SlamConfig, m: mapstate.MapState, mesh=None,
+                  n_iters: int = 10):
+    """Global bundle adjustment over the whole map
+    (`RunGlobalBundleAdjustment`, `src/LoopClosing.cc:873-1017`): all
+    keyframes + all points; sharded over a device mesh when provided."""
+    K = m.capacity_kf
+    P = m.capacity_pt
+    obs_kf, obs_ft, obs_on = mapstate.point_observations(
+        m, max_obs=cfg.ba_max_obs)
+    kfc = jnp.clip(obs_kf, 0, K - 1)
+    ftc = jnp.clip(obs_ft, 0, m.n_feat - 1)
+    xy = m.kf_xy[kfc, ftc]
+    ur = m.kf_ur[kfc, ftc]
+    lvl = m.kf_level[kfc, ftc]
+    first = jnp.argmin(jnp.where(m.kf_valid, m.kf_frame_id, 1 << 30))
+    cam_fixed = jnp.zeros((K,), bool).at[first].set(True)
+
+    prob = schur_ba.BAProblem(
+        poses=m.kf_pose, cam_valid=m.kf_valid, cam_fixed=cam_fixed,
+        points=m.pt_pos, pt_valid=m.pt_valid,
+        obs_cam=jnp.where(obs_on, obs_kf, INVALID),
+        obs_uvr=jnp.concatenate([xy, ur[..., None]], axis=-1),
+        obs_level=lvl)
+    if mesh is not None:
+        res = sharded_ba.solve_global_ba_sharded(
+            cfg.camera(), prob, cfg.level_sigma2, mesh, n_iters=n_iters,
+            robust=False)
+    else:
+        res = schur_ba.solve_ba(cfg.camera(), prob, cfg.level_sigma2,
+                                iters_a=n_iters, iters_b=0, robust=False)
+    m = m._replace(
+        kf_pose=jnp.where((m.kf_valid & ~cam_fixed)[:, None, None],
+                          res.poses, m.kf_pose),
+        pt_pos=jnp.where(m.pt_valid[:, None], res.points, m.pt_pos))
+    return m

@@ -18,13 +18,15 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from ..bow import database as bow_db
+from ..bow import vocabulary as bow_voc
 from ..geometry import se3
 from ..mapstate import map as mapstate
 from ..ops import matching
-from ..solvers import initializer, pose_opt, schur_ba
+from ..solvers import initializer, pnp, pose_opt, schur_ba
 from ..utils.config import SlamConfig, SENSOR_MONOCULAR, SENSOR_STEREO, SENSOR_RGBD
 from . import frame as frame_mod
-from . import mapping_ops, tracking_ops
+from . import loop_closing, mapping_ops, tracking_ops
 from .frame import FrameData
 
 NOT_INITIALIZED = 0
@@ -45,11 +47,23 @@ class TrajectoryEntry:
 class SlamSystem:
     """Facade: construct once, call track_* per frame, then get_trajectory()."""
 
-    def __init__(self, cfg: SlamConfig):
+    def __init__(self, cfg: SlamConfig, vocabulary=None, enable_loop_closing=True,
+                 gba_mesh=None):
         self.cfg = cfg
         self.cam = cfg.camera()
         self.m = mapstate.empty(cfg.max_keyframes, cfg.max_map_points,
                                 cfg.max_keypoints)
+        # Place recognition: vocabulary either injected (e.g. converted
+        # ORBvoc.txt) or trained on the fly from early frames' descriptors
+        # (System ctor loads the vocabulary up front, src/System.cc:58-77).
+        self.voc = vocabulary
+        self.db = (bow_db.BowDatabase.empty(cfg.max_keyframes, self.voc.n_words)
+                   if self.voc is not None else None)
+        self._voc_train_desc = []
+        self.enable_loop_closing = enable_loop_closing
+        self.gba_mesh = gba_mesh
+        self.loop_state = loop_closing.LoopState()
+        self.n_loops_closed = 0
         self.state = NOT_INITIALIZED
         self.velocity: Optional[np.ndarray] = None
         self.last_Tcw: Optional[np.ndarray] = None
@@ -120,6 +134,7 @@ class SlamSystem:
         self.state = OK
         self._set_last(f, Tcw, self.m.kf_obs[kf_id])
         self.velocity = None
+        self._on_keyframe_inserted(int(kf_id), f)
         self._record(timestamp, np.asarray(Tcw), self.ref_kf, False)
         return np.asarray(Tcw)
 
@@ -289,7 +304,12 @@ class SlamSystem:
             else:
                 Tcw, matched_pt, ok = self._track_reference_kf(f, Tcw)
         else:
-            Tcw, matched_pt, ok = self._track_reference_kf(f, Tcw)
+            T_r, m_r, ok = self._relocalize(f)
+            if ok:
+                Tcw, matched_pt = T_r, m_r
+                self.velocity = None
+            else:
+                Tcw, matched_pt, ok = self._track_reference_kf(f, Tcw)
 
         n_local_inl = 0
         if ok:
@@ -330,6 +350,7 @@ class SlamSystem:
             self.last_kf_frame_id = self.frame_id
             matched_pt = self.m.kf_obs[kf_id]
             self._local_mapping_pass(int(kf_id))
+            self._on_keyframe_inserted(int(kf_id), f)
 
         self._set_last(f, Tcw, matched_pt)
         T_ref = np.asarray(self.m.kf_pose[self.ref_kf])
@@ -366,6 +387,94 @@ class SlamSystem:
                                      self.cfg.level_sigma2)
         matched_pt = jnp.where(res.inliers, matched_pt, INVALID)
         return res.Tcw, matched_pt, int(res.n_inliers) >= 10
+
+    # ------------------------------------------------------------------
+    # Place recognition / loop closing / relocalization
+    # ------------------------------------------------------------------
+
+    def _ensure_vocabulary(self, f: FrameData):
+        if self.voc is not None:
+            return
+        d = np.asarray(f.desc)[np.asarray(f.valid)]
+        self._voc_train_desc.append(d)
+        total = sum(len(x) for x in self._voc_train_desc)
+        if total >= 1500:
+            train = np.concatenate(self._voc_train_desc)
+            self.voc = bow_voc.build_vocabulary(train, k=10, depth=3)
+            self.db = bow_db.BowDatabase.empty(self.cfg.max_keyframes,
+                                               self.voc.n_words)
+            # backfill keyframes inserted before the vocabulary existed
+            for k in np.nonzero(np.asarray(self.m.kf_valid))[0]:
+                vec = self._bow_vec(self.m.kf_desc[int(k)],
+                                    self.m.kf_feat_valid[int(k)])
+                self.db = self.db.add(int(k), vec)
+            self._voc_train_desc = []
+
+    def _bow_vec(self, desc, valid):
+        word, weight, _ = bow_voc.transform(self.voc, desc, valid)
+        return bow_voc.bow_vector(word, weight, self.voc.n_words)
+
+    def _on_keyframe_inserted(self, kf_id: int, f: FrameData):
+        self._ensure_vocabulary(f)
+        if self.voc is None:
+            return
+        vec = self._bow_vec(f.desc, f.valid)
+        self.db = self.db.add(kf_id, vec)
+        if not self.enable_loop_closing:
+            return
+        kf_seq = int(self.m.next_kf)
+        cand = loop_closing.detect_loop(
+            self.cfg, self.m, self.db, vec, kf_id, self.loop_state, kf_seq)
+        if cand is None:
+            return
+        ok, Scm, n_inl = loop_closing.compute_sim3(self.cfg, self.m, kf_id, cand)
+        if not ok:
+            return
+        self.m = loop_closing.correct_loop(
+            self.cfg, self.m, kf_id, cand, Scm, mesh=self.gba_mesh)
+        self.loop_state.last_loop_kf_seq = kf_seq
+        self.n_loops_closed += 1
+
+    def _relocalize(self, f: FrameData):
+        """Tracking::Relocalization (src/Tracking.cc:2039-2262): BoW
+        candidates -> descriptor matching against candidate keyframe points
+        -> EPnP RANSAC -> pose optimization."""
+        if self.voc is None or self.db is None:
+            return None, None, False
+        vec = self._bow_vec(f.desc, f.valid)
+        from ..bow import database as db_mod
+        scores, shared = db_mod.query_scores(self.db, vec)
+        scores = np.asarray(scores)
+        order = np.argsort(-scores)[:5]
+        for cand in order:
+            if scores[cand] <= 0 or not bool(self.m.kf_valid[cand]):
+                continue
+            k = int(cand)
+            f_ok2 = self.m.kf_feat_valid[k] & (self.m.kf_obs[k] >= 0)
+            mm = matching.search_by_node(
+                jnp.where(f.valid, 0, -1), f.desc, f.valid, f.angle,
+                jnp.where(f_ok2, 0, -1), self.m.kf_desc[k], f_ok2,
+                self.m.kf_angle[k], nn_ratio=0.75)
+            pt = self.m.kf_obs[k][jnp.clip(mm.idx, 0, self.cfg.max_keypoints - 1)]
+            valid = mm.valid & (pt >= 0)
+            if int(jnp.sum(valid)) < 15:
+                continue
+            Xw = self.m.pt_pos[jnp.clip(pt, 0, self.m.capacity_pt - 1)]
+            res = pnp.ransac_pnp(
+                Xw, f.xy, f.level, valid, self.cfg.level_sigma2,
+                float(self.cfg.fx), float(self.cfg.fy), float(self.cfg.cx),
+                float(self.cfg.cy))
+            if not bool(res.ok):
+                continue
+            matched_pt = jnp.where(res.inliers, pt, INVALID)
+            obs = jnp.concatenate([f.xy, f.ur[:, None]], axis=-1)
+            opt = pose_opt.optimize_pose(
+                self.cam, res.Tcw, Xw, obs, f.level, matched_pt >= 0,
+                self.cfg.level_sigma2)
+            if int(opt.n_inliers) >= 20:
+                matched_pt = jnp.where(opt.inliers, matched_pt, INVALID)
+                return opt.Tcw, matched_pt, True
+        return None, None, False
 
     def _need_new_keyframe(self, f: FrameData, matched_pt, n_inliers: int):
         cfg = self.cfg

@@ -80,6 +80,7 @@ class SlamConfig:
 
     # Loop closing / place recognition
     covis_consistency_th: int = 3            # src/LoopClosing.cc:91
+    loop_kf_gap: int = 10                    # KFs since last loop gate (src/LoopClosing.cc:152)
     min_covis_weight: int = 15               # src/KeyFrame.cc:465
     essential_graph_min_feat: int = 100      # src/Optimizer.cc:1103
 
