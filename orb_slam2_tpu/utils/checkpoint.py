@@ -1,0 +1,36 @@
+"""Map checkpoint / resume.
+
+The reference's SaveMap/LoadMap is an unimplemented TODO
+(`include/System.h:148-151`). Here the whole map is a pytree of arrays, so
+persistence is trivial: save/restore the MapState (plus minimal tracker
+state) as compressed npz — no serialization code per class, no pointer
+fixup. Orbax could be used for async multi-host checkpointing; npz keeps the
+artifact portable and dependency-free.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..mapstate.map import MapState
+
+
+def save_map(path: str, m: MapState, extra: dict | None = None):
+    arrays = {f"map_{k}": np.asarray(v) for k, v in m._asdict().items()}
+    if extra:
+        for k, v in extra.items():
+            arrays[f"extra_{k}"] = np.asarray(v)
+    np.savez_compressed(path, **arrays)
+
+
+def load_map(path: str):
+    import jax.numpy as jnp
+
+    data = np.load(path)
+    fields = {}
+    extra = {}
+    for k in data.files:
+        if k.startswith("map_"):
+            fields[k[4:]] = jnp.asarray(data[k])
+        elif k.startswith("extra_"):
+            extra[k[6:]] = data[k]
+    return MapState(**fields), extra

@@ -1,0 +1,96 @@
+"""Offline map/trajectory visualization.
+
+Replaces the Pangolin GUI stack (Viewer/FrameDrawer/MapDrawer,
+`src/Viewer.cc:95-214`, `src/MapDrawer.cc`) with a headless matplotlib
+renderer: map points, keyframe frusta, covisibility graph and the frame
+trajectory are drawn to a PNG. The reference's viewer is explicitly off the
+metric path (SURVEY §2.2); this keeps the observability without a GL stack.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+
+def plot_map(m, trajectory=None, path="map.png", max_points=20000,
+             show_covisibility=True, title=None):
+    """m: MapState; trajectory: optional list of (ts, T_wc)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from .geometry import se3
+    import jax.numpy as jnp
+
+    fig = plt.figure(figsize=(10, 8))
+    ax = fig.add_subplot(111, projection="3d")
+
+    pts = np.asarray(m.pt_pos)[np.asarray(m.pt_valid)]
+    if len(pts) > max_points:
+        pts = pts[np.random.default_rng(0).choice(len(pts), max_points, False)]
+    if len(pts):
+        ax.scatter(pts[:, 0], pts[:, 2], -pts[:, 1], s=0.5, c="k", alpha=0.4,
+                   label=f"{len(pts)} map points")
+
+    valid = np.asarray(m.kf_valid)
+    poses = np.asarray(m.kf_pose)
+    centers = []
+    for k in np.nonzero(valid)[0]:
+        T = poses[k]
+        c = -T[:3, :3].T @ T[:3, 3]
+        centers.append((k, c))
+    if centers:
+        cs = np.array([c for _, c in centers])
+        ax.scatter(cs[:, 0], cs[:, 2], -cs[:, 1], s=20, c="tab:blue",
+                   marker="s", label=f"{len(cs)} keyframes")
+
+    if show_covisibility and centers:
+        covis = np.asarray(m.covis)
+        idx = {k: c for k, c in centers}
+        drawn = 0
+        for k, c in centers:
+            for j in np.nonzero(covis[k] >= 15)[0]:
+                if j > k and j in idx and drawn < 500:
+                    c2 = idx[j]
+                    ax.plot([c[0], c2[0]], [c[2], c2[2]], [-c[1], -c2[1]],
+                            "g-", lw=0.3, alpha=0.5)
+                    drawn += 1
+
+    if trajectory:
+        tr = np.array([T[:3, 3] for _, T in trajectory])
+        ax.plot(tr[:, 0], tr[:, 2], -tr[:, 1], "r-", lw=1.0, label="trajectory")
+
+    ax.set_xlabel("x")
+    ax.set_ylabel("z")
+    ax.set_zlabel("-y")
+    ax.legend(loc="upper right", fontsize=8)
+    if title:
+        ax.set_title(title)
+    fig.tight_layout()
+    fig.savefig(path, dpi=120)
+    plt.close(fig)
+    return path
+
+
+def draw_frame(img, frame_data, matched_mask=None, path="frame.png"):
+    """FrameDrawer equivalent: keypoints over the image (green = tracked
+    map-point matches, blue = unmatched detections)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(8, 6))
+    ax.imshow(np.asarray(img), cmap="gray", vmin=0, vmax=255)
+    xy = np.asarray(frame_data.xy)
+    valid = np.asarray(frame_data.valid)
+    if matched_mask is not None:
+        matched = np.asarray(matched_mask) & valid
+        ax.plot(xy[valid & ~matched, 0], xy[valid & ~matched, 1], "b.", ms=2)
+        ax.plot(xy[matched, 0], xy[matched, 1], "g.", ms=3)
+        ax.set_title(f"{int(matched.sum())} matches / {int(valid.sum())} keypoints")
+    else:
+        ax.plot(xy[valid, 0], xy[valid, 1], "g.", ms=2)
+    ax.axis("off")
+    fig.tight_layout()
+    fig.savefig(path, dpi=110)
+    plt.close(fig)
+    return path
