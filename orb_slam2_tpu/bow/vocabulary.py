@@ -115,6 +115,26 @@ def build_vocabulary(descriptors: np.ndarray, k: int = 10, depth: int = 4,
         n_words=len(leaves))
 
 
+def save_npz(voc: Vocabulary, path: str):
+    """Cache a vocabulary as npz (the 1M-word ORBvoc.txt takes minutes to
+    parse; convert once — the reference pays the text-load cost every run,
+    `src/System.cc:58-77`)."""
+    np.savez_compressed(
+        path, k=voc.k, depth=voc.depth, children=np.asarray(voc.children),
+        centroids=np.asarray(voc.centroids), node_valid=np.asarray(voc.node_valid),
+        word_id=np.asarray(voc.word_id), word_weight=np.asarray(voc.word_weight),
+        n_words=voc.n_words)
+
+
+def load_npz(path: str) -> Vocabulary:
+    d = np.load(path)
+    return Vocabulary(
+        k=int(d["k"]), depth=int(d["depth"]), children=jnp.asarray(d["children"]),
+        centroids=jnp.asarray(d["centroids"]), node_valid=jnp.asarray(d["node_valid"]),
+        word_id=jnp.asarray(d["word_id"]), word_weight=jnp.asarray(d["word_weight"]),
+        n_words=int(d["n_words"]))
+
+
 def load_orb_vocabulary(path: str) -> Vocabulary:
     """Load the reference's ORBvoc.txt (DBoW2 text format: header 'k L s1 s2'
     then one line per node: parent is-leaf d0..d31 weight)."""

@@ -26,7 +26,7 @@ from ..ops import matching
 from ..solvers import initializer, pnp, pose_opt, schur_ba
 from ..utils.config import SlamConfig, SENSOR_MONOCULAR, SENSOR_STEREO, SENSOR_RGBD
 from . import frame as frame_mod
-from . import loop_closing, mapping_ops, tracking_ops
+from . import loop_closing, mapping_ops, tracking_ops, tracking_step
 from .frame import FrameData
 
 NOT_INITIALIZED = 0
@@ -64,6 +64,7 @@ class SlamSystem:
         self.gba_mesh = gba_mesh
         self.loop_state = loop_closing.LoopState()
         self.n_loops_closed = 0
+        self.localization_only = False
         self.state = NOT_INITIALIZED
         self.velocity: Optional[np.ndarray] = None
         self.last_Tcw: Optional[np.ndarray] = None
@@ -279,88 +280,109 @@ class SlamSystem:
 
     def _track_frame(self, f: FrameData, timestamp: float):
         cfg = self.cfg
-        ok = False
-        matched_pt = jnp.full((cfg.max_keypoints,), INVALID, jnp.int32)
-        Tcw = jnp.asarray(self.last_Tcw)
 
-        if self.state == OK:
-            T_pred = jnp.asarray(
-                self.velocity @ self.last_Tcw if self.velocity is not None
-                else self.last_Tcw)
-            th = 15.0 if cfg.sensor == SENSOR_MONOCULAR else 7.0
-            Tcw, matched_last, n_inl, n_m = tracking_ops.track_motion_model(
-                cfg, T_pred, self.last_frame, self.last_pts,
-                self.last_pts_valid, f, th=th)
-            if int(n_m) < 20:
-                Tcw, matched_last, n_inl, n_m = tracking_ops.track_motion_model(
-                    cfg, T_pred, self.last_frame, self.last_pts,
-                    self.last_pts_valid, f, th=2 * th, check_rotation=False)
-            ok = int(n_inl) >= 10
-            if ok:
-                # map current matches from last-frame features to map points
-                ml = jnp.clip(matched_last, 0, cfg.max_keypoints - 1)
-                matched_pt = jnp.where(
-                    matched_last >= 0, self.last_matched_pt[ml], INVALID)
-            else:
-                Tcw, matched_pt, ok = self._track_reference_kf(f, Tcw)
-        else:
+        if self.state == LOST:
             T_r, m_r, ok = self._relocalize(f)
-            if ok:
-                Tcw, matched_pt = T_r, m_r
-                self.velocity = None
-            else:
-                Tcw, matched_pt, ok = self._track_reference_kf(f, Tcw)
+            if not ok:
+                self._record(timestamp, np.eye(4), self.ref_kf, True)
+                self.metrics.append(dict(frame=self.frame_id, state="LOST",
+                                         inliers=0))
+                return None
+            # re-enter normal tracking from the relocalized pose
+            self.last_Tcw = np.asarray(T_r)
+            self.velocity = None
+            self.last_matched_pt = m_r
+            self.last_frame = f
+            self.last_pts = self.m.pt_pos[
+                jnp.clip(m_r, 0, self.m.capacity_pt - 1)]
+            self.last_pts_valid = m_r >= 0
+            self.state = OK
+            self._record(timestamp, np.eye(4), self.ref_kf, True)
+            return np.asarray(T_r)
 
-        n_local_inl = 0
-        if ok:
-            # local map tracking
-            local_kf, local_mask, ref_kf, local_pt, pt_mask = \
-                tracking_ops.select_local_map(
-                    self.m, matched_pt, max_kf=cfg.max_local_keyframes,
-                    max_pts=cfg.max_local_points)
-            self.ref_kf = int(ref_kf)
-            Tcw, matched_pt, n_inl2, vis_ids, fnd_ids = \
-                tracking_ops.track_local_map(
-                    cfg, self.m, Tcw, f, matched_pt, local_pt, pt_mask)
-            self.m = tracking_ops.update_counters(self.m, vis_ids,
-                                                  jnp.asarray(matched_pt), cfg)
-            n_local_inl = int(n_inl2)
-            ok = n_local_inl >= 30
-
+        has_vel = self.velocity is not None
+        vel = jnp.asarray(self.velocity if has_vel else np.eye(4, dtype=np.float32))
+        res = tracking_step.full_tracking_step(
+            cfg, self.m, f, self.last_frame, self.last_pts,
+            self.last_pts_valid, self.last_matched_pt,
+            jnp.asarray(self.last_Tcw), vel, jnp.asarray(has_vel),
+            jnp.asarray(self.ref_kf))
+        self.m = res.m
+        sc, Tcw, T_rel = jax.device_get((res.scalars, res.Tcw, res.T_rel))
+        ok = bool(sc[0])
+        n_local_inl = int(sc[3])
+        self.ref_kf = int(res.ref_kf)
         self.n_inliers = n_local_inl
+
         if not ok:
             self.state = LOST
             self._record(timestamp, np.eye(4), self.ref_kf, True)
             self.metrics.append(dict(frame=self.frame_id, state="LOST",
-                                     inliers=0))
-            # keep last pose for a naive retry next frame
+                                     inliers=n_local_inl))
             return None
 
         self.state = OK
-        # motion model velocity
         if self.last_Tcw is not None:
-            self.velocity = np.asarray(Tcw) @ np.linalg.inv(self.last_Tcw)
+            self.velocity = Tcw @ np.linalg.inv(self.last_Tcw)
 
-        # keyframe decision
-        need_kf = self._need_new_keyframe(f, matched_pt, n_local_inl)
+        matched_pt = res.matched_pt
+        need_kf = (not self.localization_only and
+                   self._need_kf_from_scalars(sc))
         if need_kf:
             self.m, kf_id = mapping_ops.insert_keyframe(
-                cfg, self.m, f, Tcw, matched_pt, self.frame_id, timestamp)
+                cfg, self.m, f, jnp.asarray(Tcw), matched_pt,
+                self.frame_id, timestamp)
             self.ref_kf = int(kf_id)
             self.last_kf_frame_id = self.frame_id
             matched_pt = self.m.kf_obs[kf_id]
             self._local_mapping_pass(int(kf_id))
             self._on_keyframe_inserted(int(kf_id), f)
+            self._set_last(f, Tcw, matched_pt)
+            T_ref = np.asarray(self.m.kf_pose[self.ref_kf])
+            T_rel = Tcw @ np.linalg.inv(T_ref)
+        else:
+            # fast path: next-frame state comes straight from the fused step
+            self.last_frame = f
+            self.last_Tcw = Tcw
+            self.last_matched_pt = matched_pt
+            self.last_pts = res.next_pts
+            self.last_pts_valid = res.next_pts_valid
 
-        self._set_last(f, Tcw, matched_pt)
-        T_ref = np.asarray(self.m.kf_pose[self.ref_kf])
-        self._record(timestamp, np.asarray(Tcw) @ np.linalg.inv(T_ref),
-                     self.ref_kf, False)
+        self._record(timestamp, T_rel, self.ref_kf, False)
         self.metrics.append(dict(frame=self.frame_id, state="OK",
                                  inliers=n_local_inl, kf=bool(need_kf),
-                                 n_kf=int(self.m.n_keyframes),
-                                 n_pts=int(self.m.n_points)))
-        return np.asarray(Tcw)
+                                 n_kf=int(self.m.n_keyframes) if need_kf else None,
+                                 n_pts=int(self.m.n_points) if need_kf else None))
+        return Tcw
+
+    def _need_kf_from_scalars(self, sc) -> bool:
+        """NeedNewKeyFrame from the fused step's scalar bundle."""
+        cfg = self.cfg
+        if int(self._nkf_cache()) >= cfg.max_keyframes - 2:
+            return False
+        n_inliers = int(sc[3])
+        ref_matches = int(sc[4])
+        close_tracked = int(sc[5])
+        close_untracked = int(sc[6])
+        frames_since = self.frame_id - self.last_kf_frame_id
+        n_kf = self._nkf_cache()
+        th_ratio = 0.75 if cfg.sensor != SENSOR_MONOCULAR else 0.9
+        if n_kf < 2:
+            th_ratio = 0.4
+        need_close = (cfg.sensor != SENSOR_MONOCULAR and
+                      (close_tracked < 100 and close_untracked > 70))
+        c1a = frames_since >= int(cfg.fps)
+        c1b = frames_since >= 0
+        c1c = cfg.sensor != SENSOR_MONOCULAR and \
+            (n_inliers < ref_matches * 0.25 or need_close)
+        c2 = (n_inliers < ref_matches * th_ratio or need_close) and n_inliers > 15
+        return bool((c1a or c1b or c1c) and c2)
+
+    def _nkf_cache(self) -> int:
+        # host-tracked keyframe count (avoids a device read per frame)
+        if not hasattr(self, "_n_kf_host"):
+            self._n_kf_host = int(self.m.n_keyframes)
+        return self._n_kf_host
 
     def _track_reference_kf(self, f: FrameData, Tcw):
         """TrackReferenceKeyFrame (src/Tracking.cc:1166-1227): brute-force
@@ -387,6 +409,45 @@ class SlamSystem:
                                      self.cfg.level_sigma2)
         matched_pt = jnp.where(res.inliers, matched_pt, INVALID)
         return res.Tcw, matched_pt, int(res.n_inliers) >= 10
+
+    # ------------------------------------------------------------------
+    # Mode switches / reset / accessors (System facade parity:
+    # ActivateLocalizationMode/Reset/GetTrackingState, src/System.cc:150-344,
+    # 621-639)
+    # ------------------------------------------------------------------
+
+    def activate_localization_mode(self):
+        """Tracking-only: stop inserting keyframes / running mapping (the
+        reference freezes LocalMapping, src/System.cc:164-194)."""
+        self.localization_only = True
+
+    def deactivate_localization_mode(self):
+        self.localization_only = False
+
+    def reset(self):
+        """System::Reset (src/Tracking.cc:2265-2313): clear map, database,
+        trajectory bookkeeping and return to the uninitialized state."""
+        cfg = self.cfg
+        self.m = mapstate.empty(cfg.max_keyframes, cfg.max_map_points,
+                                cfg.max_keypoints)
+        if self.voc is not None:
+            self.db = bow_db.BowDatabase.empty(cfg.max_keyframes, self.voc.n_words)
+        self.loop_state.reset()
+        self.state = NOT_INITIALIZED
+        self.velocity = None
+        self.init_frame = None
+        self.last_frame = None
+        self.ref_kf = 0
+        self.last_kf_frame_id = self.frame_id
+
+    def get_tracking_state(self):
+        return self.state
+
+    def get_tracked_map_points(self):
+        """Map point ids matched in the last frame (-1 per unmatched
+        keypoint) — System::GetTrackedMapPoints."""
+        return (np.asarray(self.last_matched_pt)
+                if self.last_matched_pt is not None else None)
 
     # ------------------------------------------------------------------
     # Place recognition / loop closing / relocalization
@@ -544,6 +605,7 @@ class SlamSystem:
                 n_local=cfg.ba_local_cams, n_fixed=cfg.ba_fixed_cams,
                 max_pts=cfg.ba_max_points, max_obs=cfg.ba_max_obs)
             self.m, culled = mapping_ops.cull_keyframes(cfg, self.m, kf_id)
+        self._n_kf_host = int(self.m.n_keyframes)
 
     # ------------------------------------------------------------------
     # Output
