@@ -12,6 +12,7 @@ vs_baseline is against the reference's real-time CPU tracking rate on TUM
 `Examples/Monocular/TUM1.yaml:22`); the BASELINE.json target is >= 2.0 here.
 """
 import json
+import os
 import time
 
 import numpy as np
@@ -22,6 +23,11 @@ BASELINE_FPS = 30.0
 def main():
     import jax
     import jax.numpy as jnp
+
+    # persistent compile cache: repeat runs skip the remote compile entirely
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_CACHE_DIR", "/root/jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
     from orb_slam2_tpu.utils.config import SlamConfig
     from orb_slam2_tpu.utils.synthetic import PlaneWorld, lateral_trajectory

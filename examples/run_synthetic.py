@@ -71,9 +71,10 @@ def main():
         dt = time.time() - t0
         times.append(dt)
         state = sys_.metrics[-1] if sys_.metrics else {}
+        kf = state.get('n_kf') or '-'
+        pts = state.get('n_pts') or '-'
         print(f"frame {i:3d}  {dt*1000:7.1f} ms  tracked={Tcw is not None} "
-              f"inliers={state.get('inliers', '-')} kf={state.get('n_kf', '-')} "
-              f"pts={state.get('n_pts', '-')}")
+              f"inliers={state.get('inliers', '-')} kf={kf} pts={pts}")
 
     traj = sys_.get_trajectory()
     print(f"\ntracked {len(traj)}/{args.frames} frames; "

@@ -103,7 +103,28 @@ def build_vocabulary(descriptors: np.ndarray, k: int = 10, depth: int = 4,
 
     for w, leaf in enumerate(sorted(leaves)):
         word_id[leaf] = w
-    weights = np.where(word_id >= 0, 1.0, 0.0).astype(np.float32)
+
+    voc_tmp = Vocabulary(
+        k=k, depth=depth,
+        children=jnp.asarray(children[:next_node]),
+        centroids=jnp.asarray(centroids[:next_node]),
+        node_valid=jnp.asarray(node_valid[:next_node]),
+        word_id=jnp.asarray(word_id[:next_node]),
+        word_weight=jnp.asarray(np.where(word_id[:next_node] >= 0, 1.0, 0.0)
+                                .astype(np.float32)),
+        n_words=len(leaves))
+    # IDF weights from the training set (DBoW2 TF_IDF weighting: rare words
+    # discriminate; without this, uniform weights inflate common-word scores)
+    import jax.numpy as _jnp
+    w_assign, _, _ = transform(voc_tmp, _jnp.asarray(descriptors),
+                               _jnp.ones(len(descriptors), bool))
+    counts = np.bincount(np.asarray(w_assign)[np.asarray(w_assign) >= 0],
+                         minlength=len(leaves))
+    idf = np.log(len(descriptors) / (1.0 + counts)).astype(np.float32)
+    idf = np.maximum(idf, 0.0)
+    weights = np.zeros(next_node, np.float32)
+    mask = word_id[:next_node] >= 0
+    weights[mask] = idf[word_id[:next_node][mask]]
 
     return Vocabulary(
         k=k, depth=depth,

@@ -40,6 +40,7 @@ class FrameData(NamedTuple):
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def make_frame_monocular(img, cfg: SlamConfig) -> FrameData:
     cam = cfg.camera()
+    img = img.astype(jnp.float32)   # accept uint8 uploads (4x less transfer)
     kps = extractor.extract(img, cfg)
     xy_und = camera_mod.undistort_pixels(cam, kps.xy) if cfg.k1 or cfg.k2 else kps.xy
     n = kps.xy.shape[0]
@@ -53,6 +54,8 @@ def make_frame_monocular(img, cfg: SlamConfig) -> FrameData:
 def make_frame_stereo(img_left, img_right, cfg: SlamConfig) -> FrameData:
     """Stereo pairs are assumed rectified (reference requirement), so raw ==
     undistorted coordinates."""
+    img_left = img_left.astype(jnp.float32)
+    img_right = img_right.astype(jnp.float32)
     kl = extractor.extract(img_left, cfg)
     kr = extractor.extract(img_right, cfg)
     pyl = extractor.build_pyramid(img_left, cfg)
@@ -69,6 +72,9 @@ def make_frame_stereo(img_left, img_right, cfg: SlamConfig) -> FrameData:
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def make_frame_rgbd(img, depth_img, cfg: SlamConfig) -> FrameData:
     cam = cfg.camera()
+    img = img.astype(jnp.float32)
+    depth_img = depth_img.astype(jnp.float32)  # uint16 depth maps upload raw;
+    # cfg.depth_map_factor rescales on device (stereo_from_rgbd)
     kps = extractor.extract(img, cfg)
     xy_und = camera_mod.undistort_pixels(cam, kps.xy) if cfg.k1 or cfg.k2 else kps.xy
     ur, depth = stereo_ops.stereo_from_rgbd(

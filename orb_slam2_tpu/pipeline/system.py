@@ -85,18 +85,18 @@ class SlamSystem:
     # ------------------------------------------------------------------
 
     def track_monocular(self, img, timestamp: float):
-        f = frame_mod.make_frame_monocular(jnp.asarray(img, jnp.float32), self.cfg)
+        # dtype preserved: uint8 input uploads 4x less and converts on device
+        f = frame_mod.make_frame_monocular(jnp.asarray(img), self.cfg)
         return self._track(f, timestamp)
 
     def track_stereo(self, img_left, img_right, timestamp: float):
         f = frame_mod.make_frame_stereo(
-            jnp.asarray(img_left, jnp.float32), jnp.asarray(img_right, jnp.float32),
-            self.cfg)
+            jnp.asarray(img_left), jnp.asarray(img_right), self.cfg)
         return self._track(f, timestamp)
 
     def track_rgbd(self, img, depth, timestamp: float):
         f = frame_mod.make_frame_rgbd(
-            jnp.asarray(img, jnp.float32), jnp.asarray(depth, jnp.float32), self.cfg)
+            jnp.asarray(img), jnp.asarray(depth), self.cfg)
         return self._track(f, timestamp)
 
     # ------------------------------------------------------------------
@@ -311,7 +311,7 @@ class SlamSystem:
         sc, Tcw, T_rel = jax.device_get((res.scalars, res.Tcw, res.T_rel))
         ok = bool(sc[0])
         n_local_inl = int(sc[3])
-        self.ref_kf = int(res.ref_kf)
+        self.ref_kf = int(sc[8])
         self.n_inliers = n_local_inl
 
         if not ok:
@@ -442,6 +442,17 @@ class SlamSystem:
 
     def get_tracking_state(self):
         return self.state
+
+    def get_map_stats(self):
+        """Structured observability snapshot (SURVEY §5.5)."""
+        return dict(
+            n_keyframes=int(self.m.n_keyframes),
+            n_map_points=int(self.m.n_points),
+            n_loops_closed=self.n_loops_closed,
+            state={0: "NOT_INITIALIZED", 1: "OK", 2: "LOST"}[self.state],
+            last_inliers=self.n_inliers,
+            frame_id=self.frame_id,
+        )
 
     def get_tracked_map_points(self):
         """Map point ids matched in the last frame (-1 per unmatched
@@ -605,6 +616,8 @@ class SlamSystem:
                 n_local=cfg.ba_local_cams, n_fixed=cfg.ba_fixed_cams,
                 max_pts=cfg.ba_max_points, max_obs=cfg.ba_max_obs)
             self.m, culled = mapping_ops.cull_keyframes(cfg, self.m, kf_id)
+            if self.db is not None:
+                self.db = self.db.erase(culled)
         self._n_kf_host = int(self.m.n_keyframes)
 
     # ------------------------------------------------------------------

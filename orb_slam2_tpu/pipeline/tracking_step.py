@@ -38,9 +38,9 @@ class TrackStepResult(NamedTuple):
     next_pts: jnp.ndarray      # (N,3) 3D points for the next motion step
     next_pts_valid: jnp.ndarray
     ref_kf: jnp.ndarray        # () best-sharing keyframe
-    scalars: jnp.ndarray       # (8,) int32: [ok, n_mm_matches, n_mm_inliers,
+    scalars: jnp.ndarray       # (9,) int32: [ok, n_mm_matches, n_mm_inliers,
                                #  n_local_inliers, ref_matches, close_tracked,
-                               #  close_untracked, used_fallback]
+                               #  close_untracked, used_fallback, ref_kf]
 
 
 def _motion_model(cfg, cam, T_pred, last, last_pts, last_pts_valid,
@@ -154,7 +154,7 @@ def full_tracking_step(cfg: SlamConfig, m: mapstate.MapState, cur: FrameData,
     scalars = jnp.stack([
         ok_2.astype(jnp.int32), n_mm, res_mm.n_inliers, n_local,
         ref_matches, close_tracked, close_untracked,
-        (~mm_ok).astype(jnp.int32)])
+        (~mm_ok).astype(jnp.int32), ref_kf.astype(jnp.int32)])
     T_rel = Tcw_2 @ se3.inverse(m.kf_pose[jnp.clip(ref_kf, 0, m.capacity_kf - 1)])
     return TrackStepResult(m=m, Tcw=Tcw_2, T_rel=T_rel, matched_pt=matched_2,
                            next_pts=pos, next_pts_valid=next_valid,
