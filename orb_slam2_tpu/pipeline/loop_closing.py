@@ -25,7 +25,7 @@ from ..geometry import se3, sim3
 from ..geometry.sim3 import Sim3
 from ..mapstate import map as mapstate
 from ..ops import matching
-from ..solvers import sim3_solver, pose_graph, schur_ba
+from ..solvers import pcg_ba, sim3_solver, pose_graph, schur_ba
 from ..parallel import sharded_ba
 from ..utils.config import SlamConfig, SENSOR_MONOCULAR
 from . import mapping_ops
@@ -310,10 +310,20 @@ def run_global_ba(cfg: SlamConfig, m: mapstate.MapState, mesh=None,
         obs_cam=jnp.where(obs_on, obs_kf, INVALID),
         obs_uvr=jnp.concatenate([xy, ur[..., None]], axis=-1),
         obs_level=lvl)
+    # dense-W Schur needs Q*C*18*4 bytes; beyond ~200MB switch to the
+    # implicit-Schur PCG solver (Ceres ITERATIVE_SCHUR equivalent)
+    dense_bytes = prob.points.shape[0] * K * 18 * 4
     if mesh is not None:
-        res = sharded_ba.solve_global_ba_sharded(
-            cfg.camera(), prob, cfg.level_sigma2, mesh, n_iters=n_iters,
-            robust=False)
+        if dense_bytes > 200 * 1024 * 1024:
+            res = pcg_ba.solve_ba_pcg_sharded(
+                cfg.camera(), prob, cfg.level_sigma2, mesh, n_iters=n_iters)
+        else:
+            res = sharded_ba.solve_global_ba_sharded(
+                cfg.camera(), prob, cfg.level_sigma2, mesh, n_iters=n_iters,
+                robust=False)
+    elif dense_bytes > 200 * 1024 * 1024:
+        res = pcg_ba.solve_ba_pcg(cfg.camera(), prob, cfg.level_sigma2,
+                                  n_iters=n_iters)
     else:
         res = schur_ba.solve_ba(cfg.camera(), prob, cfg.level_sigma2,
                                 iters_a=n_iters, iters_b=0, robust=False)

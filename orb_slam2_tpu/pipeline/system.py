@@ -384,32 +384,6 @@ class SlamSystem:
             self._n_kf_host = int(self.m.n_keyframes)
         return self._n_kf_host
 
-    def _track_reference_kf(self, f: FrameData, Tcw):
-        """TrackReferenceKeyFrame (src/Tracking.cc:1166-1227): brute-force
-        descriptor match against the reference keyframe (the reference uses
-        BoW buckets purely for speed), then pose opt from the last pose."""
-        m = self.m
-        k = self.ref_kf
-        # single-bucket search_by_node == brute-force ratio matching
-        mm = matching.search_by_node(
-            jnp.where(f.valid, 0, -1), f.desc, f.valid, f.angle,
-            jnp.where(m.kf_feat_valid[k], 0, -1), m.kf_desc[k],
-            m.kf_feat_valid[k], m.kf_angle[k], nn_ratio=0.7)
-        # map keyframe features -> map points
-        kf_pt = m.kf_obs[k]
-        tgt = kf_pt[jnp.clip(mm.idx, 0, self.cfg.max_keypoints - 1)]
-        matched_pt = jnp.where(mm.valid & (tgt >= 0), tgt, INVALID)
-        has = matched_pt >= 0
-        n_m = int(jnp.sum(has.astype(jnp.int32)))
-        if n_m < 15:
-            return Tcw, matched_pt, False
-        Xw = m.pt_pos[jnp.clip(matched_pt, 0, m.capacity_pt - 1)]
-        obs = jnp.concatenate([f.xy, f.ur[:, None]], axis=-1)
-        res = pose_opt.optimize_pose(self.cam, Tcw, Xw, obs, f.level, has,
-                                     self.cfg.level_sigma2)
-        matched_pt = jnp.where(res.inliers, matched_pt, INVALID)
-        return res.Tcw, matched_pt, int(res.n_inliers) >= 10
-
     # ------------------------------------------------------------------
     # Mode switches / reset / accessors (System facade parity:
     # ActivateLocalizationMode/Reset/GetTrackingState, src/System.cc:150-344,
