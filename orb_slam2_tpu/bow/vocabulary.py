@@ -11,7 +11,6 @@ the reference's ORBvoc.txt format for drop-in use.
 """
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple
 
 import numpy as np

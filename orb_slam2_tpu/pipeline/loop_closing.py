@@ -15,8 +15,6 @@ calls after each keyframe insertion (the reference's thread 3):
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Optional
-
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -52,7 +50,6 @@ def detect_loop(cfg: SlamConfig, m: mapstate.MapState, db, bow_vec, kf_id: int,
     shared-word + accumulated-score candidates, 3-consecutive-group
     consistency."""
     from ..bow import database as db_mod
-    from ..bow import vocabulary as voc_mod
 
     if kf_seq - state.last_loop_kf_seq < cfg.loop_kf_gap:
         return None

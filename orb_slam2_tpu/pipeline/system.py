@@ -10,8 +10,7 @@ device; this class only sequences jitted calls and keeps small host state.
 """
 from __future__ import annotations
 
-import math
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import List, Optional, Tuple
 
 import numpy as np
@@ -24,7 +23,7 @@ from ..geometry import se3
 from ..mapstate import map as mapstate
 from ..ops import matching
 from ..solvers import initializer, pnp, pose_opt, schur_ba
-from ..utils.config import SlamConfig, SENSOR_MONOCULAR, SENSOR_STEREO, SENSOR_RGBD
+from ..utils.config import SlamConfig, SENSOR_MONOCULAR
 from . import frame as frame_mod
 from . import loop_closing, mapping_ops, tracking_ops, tracking_step
 from .frame import FrameData

@@ -8,7 +8,6 @@ state machine lives in pipeline/tracking.py.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,6 @@ pose, and a single scalar bundle the host reads once.
 from __future__ import annotations
 
 import functools
-import math
 from typing import NamedTuple
 
 import jax

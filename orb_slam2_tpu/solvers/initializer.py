@@ -20,7 +20,6 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..geometry import se3
 from ..geometry.triangulation import triangulate
 
 RANSAC_ITERS = 200

@@ -16,8 +16,6 @@ PCG iteration is tiny and independent of map size.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Optional
-
 import jax
 import jax.numpy as jnp
 

@@ -15,7 +15,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..geometry import se3, sim3
+from ..geometry import sim3
 
 
 def horn_sim3(p1, p2, fix_scale: bool = False, w=None):
