@@ -25,6 +25,7 @@ def main():
     ap.add_argument("--features", type=int, default=500)
     ap.add_argument("--step", type=float, default=0.03)
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    ap.add_argument("--plot", default=None, help="save a map/trajectory PNG")
     args = ap.parse_args()
 
     if args.cpu:
@@ -79,6 +80,11 @@ def main():
     traj = sys_.get_trajectory()
     print(f"\ntracked {len(traj)}/{args.frames} frames; "
           f"median frame time {np.median(times[2:])*1000:.1f} ms")
+    if args.plot:
+        from orb_slam2_tpu import viewer
+        viewer.plot_map(sys_.m, [(t, T) for t, T in traj], path=args.plot,
+                        title=f"synthetic {args.sensor}")
+        print("map plot:", args.plot)
     if len(traj) >= args.frames * 0.9:
         est_poses = [T for _, T in traj]
         gt_poses = [gt[int(round(ts * 10))] for ts, _ in traj]
