@@ -43,6 +43,17 @@ def best_two(dist, cand_mask):
     return best, best_idx, second
 
 
+def fused_best_two(desc_a, desc_b, cand_mask, use_pallas: bool = False):
+    """Hamming + masked top-2 in one step. With use_pallas (TPU backends),
+    runs the fused VMEM kernel (ops/pallas_kernels.py) that never writes the
+    (N,M) distance matrix to HBM; otherwise the XLA path."""
+    if use_pallas and desc_b.shape[0] <= 8192:
+        from .pallas_kernels import masked_best_two_pallas
+
+        return masked_best_two_pallas(desc_a, desc_b, cand_mask)
+    return best_two(hamming_matrix(desc_a, desc_b), cand_mask)
+
+
 def resolve_conflicts(best_idx, best_dist, accept, n_targets):
     """Keep, for each target, only the accepted source with minimal distance.
 
@@ -143,7 +154,7 @@ def search_by_projection_frame(
     uv, src_level, src_desc, src_valid, src_angle, src_ur,
     kp_xy, kp_level, kp_desc, kp_valid, kp_angle, kp_ur,
     scale_factors, th: float, forward: bool, backward: bool,
-    check_rotation: bool = True,
+    check_rotation: bool = True, use_pallas: bool = False,
 ):
     """Last-frame -> current-frame projection search for the motion model
     (`ORBmatcher::SearchByProjection(Frame&, Frame&, th, bMono)`,
@@ -171,8 +182,7 @@ def search_by_projection_frame(
     )
     cand = win & lvl_ok & stereo_ok & src_valid[:, None] & kp_valid[None, :]
 
-    dist = hamming_matrix(src_desc, kp_desc)
-    best, best_idx, _ = best_two(dist, cand)
+    best, best_idx, _ = fused_best_two(src_desc, kp_desc, cand, use_pallas)
     accept = (best <= TH_HIGH) & src_valid
     if check_rotation:
         accept = rotation_consistency(src_angle, kp_angle, accept, best_idx)
@@ -207,14 +217,14 @@ def search_by_node(
     node_a, desc_a, valid_a, angle_a,
     node_b, desc_b, valid_b, angle_b,
     nn_ratio: float = 0.7, check_rotation: bool = True, max_dist: int = TH_LOW,
+    use_pallas: bool = False,
 ):
     """BoW-bucket matching (`ORBmatcher::SearchByBoW`, `src/ORBmatcher.cc:255-579`):
     the FeatureVector's level-4 node buckets become an equality mask on
     per-feature vocabulary node ids."""
     cand = (node_a[:, None] == node_b[None, :]) & (node_a[:, None] >= 0)
     cand = cand & valid_a[:, None] & valid_b[None, :]
-    dist = hamming_matrix(desc_a, desc_b)
-    best, best_idx, second = best_two(dist, cand)
+    best, best_idx, second = fused_best_two(desc_a, desc_b, cand, use_pallas)
     accept = (best <= max_dist) & (best < nn_ratio * second) & valid_a
     if check_rotation:
         accept = rotation_consistency(angle_a, angle_b, accept, best_idx)

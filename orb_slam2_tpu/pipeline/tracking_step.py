@@ -57,7 +57,7 @@ def _motion_model(cfg, cam, T_pred, last, last_pts, last_pts_valid,
         uv, last.level, last.desc, src_valid, last.angle, ur_proj,
         cur.xy, cur.level, cur.desc, cur.valid, cur.angle, cur.ur,
         cfg.scale_factors, th, forward=False, backward=False,
-        check_rotation=check_rotation)
+        check_rotation=check_rotation, use_pallas=cfg.use_pallas)
     N = cur.xy.shape[0]
     kp_last = jnp.full((N,), INVALID, jnp.int32).at[
         jnp.where(mm.valid, mm.idx, N)
@@ -106,7 +106,7 @@ def full_tracking_step(cfg: SlamConfig, m: mapstate.MapState, cur: FrameData,
         mm2 = matching.search_by_node(
             jnp.where(cur.valid, 0, -1), cur.desc, cur.valid, cur.angle,
             jnp.where(f_ok2, 0, -1), m.kf_desc[k], f_ok2, m.kf_angle[k],
-            nn_ratio=0.7)
+            nn_ratio=0.7, use_pallas=cfg.use_pallas)
         tgt = m.kf_obs[k][jnp.clip(mm2.idx, 0, N - 1)]
         matched = jnp.where(mm2.valid & (tgt >= 0), tgt, INVALID)
         has = matched >= 0

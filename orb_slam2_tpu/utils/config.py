@@ -52,6 +52,11 @@ class SlamConfig:
     # Sensor
     sensor: int = SENSOR_MONOCULAR
 
+    # Use hand-written Pallas TPU kernels for the matching inner loop
+    # (ops/pallas_kernels.py). Off by default: CPU tests run the XLA path;
+    # enable on real TPU backends.
+    use_pallas: bool = False
+
     # ---- Fixed-capacity shapes (TPU-native additions; everything is padded
     # to these and masked). ----
     max_keypoints: Optional[int] = None      # default: next_pow2(n_features)
