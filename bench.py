@@ -37,7 +37,7 @@ def main():
 
     dev = jax.devices()[0]
     cfg = SlamConfig(fx=517.3, fy=516.5, cx=318.6, cy=255.3,
-                     width=640, height=480, n_features=1000)
+                     width=640, height=480, n_features=1000, use_pallas=True)
 
     world = PlaneWorld(cfg.fx, cfg.fy, cfg.cx, cfg.cy, 640, 480, z0=5.0)
     gt = lateral_trajectory(6, step=0.03)
