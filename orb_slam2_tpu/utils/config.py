@@ -22,6 +22,32 @@ def _next_pow2(n: int) -> int:
     return 1 << max(0, (n - 1)).bit_length()
 
 
+def load_opencv_yaml(path: str) -> dict:
+    """Parse an OpenCV cv::FileStorage-flavor YAML (the reference settings
+    format): strips the `%YAML:1.0` header and `!!opencv-matrix` tags; matrix
+    nodes come through as {rows, cols, dt, data} dicts (see opencv_matrix)."""
+    import yaml
+
+    # errors="replace": some reference configs carry non-UTF-8 comment bytes
+    with open(path, encoding="utf-8", errors="replace") as f:
+        text = f.read()
+    text = re.sub(r"^%YAML:[\d.]+", "", text.strip())
+    text = text.replace("!!opencv-matrix", "")
+    # OpenCV's parser allows "key:value" without a space; PyYAML does not
+    text = re.sub(r"^(\s*[\w.]+):(\S)", r"\1: \2", text, flags=re.M)
+    return yaml.safe_load(text) or {}
+
+
+def opencv_matrix(node):
+    """Convert a parsed opencv-matrix node ({rows, cols, data}) to ndarray."""
+    import numpy as np
+
+    if isinstance(node, dict):
+        return np.asarray(node["data"], np.float64).reshape(
+            int(node["rows"]), int(node["cols"]))
+    return np.asarray(node, np.float64)
+
+
 @dataclasses.dataclass(frozen=True)
 class SlamConfig:
     # Camera (reference YAML `Camera.*`)
@@ -124,13 +150,7 @@ class SlamConfig:
     @staticmethod
     def from_yaml(path: str, sensor: int = SENSOR_MONOCULAR, **overrides) -> "SlamConfig":
         """Load a reference-format settings YAML (OpenCV FileStorage flavor)."""
-        import yaml
-
-        with open(path) as f:
-            text = f.read()
-        text = re.sub(r"^%YAML:[\d.]+", "", text.strip())
-        text = text.replace("!!opencv-matrix", "")
-        data = yaml.safe_load(text) or {}
+        data = load_opencv_yaml(path)
 
         def g(key, default):
             return data.get(key, default)

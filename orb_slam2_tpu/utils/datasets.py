@@ -225,10 +225,13 @@ class KittiMonocular(KittiStereo):
 
 class EurocStereo:
     """EuRoC MAV stereo (`stereo_euroc.cc`): mav0/cam0|cam1/data.csv +
-    data/<ts>.png. NOTE: EuRoC images are unrectified; pass rectification
-    maps or use pre-rectified sequences."""
+    data/<ts>.png. EuRoC images are unrectified; pass a
+    `geometry.rectify.StereoRectifier` (built from the settings YAML's
+    LEFT./RIGHT. blocks, as the reference does at startup) to rectify each
+    pair on the fly."""
 
-    def __init__(self, seq_dir: str):
+    def __init__(self, seq_dir: str, rectifier=None):
+        self.rectifier = rectifier
         def read_cam(cam):
             entries = []
             with open(os.path.join(seq_dir, "mav0", cam, "data.csv")) as f:
@@ -257,4 +260,30 @@ class EurocStereo:
 
     def __iter__(self):
         for (ts, _, _), l, r in zip(self.entries, self.left, self.right):
+            if self.rectifier is not None:
+                l, r = self.rectifier(l, r)
             yield ts, l, r
+
+
+class EurocMonocular:
+    """EuRoC cam0-only sequence (`mono_euroc.cc` LoadImages)."""
+
+    def __init__(self, seq_dir: str):
+        entries = []
+        with open(os.path.join(seq_dir, "mav0", "cam0", "data.csv")) as f:
+            for line in f:
+                if line.startswith("#") or not line.strip():
+                    continue
+                ts_ns, fname = line.strip().split(",")[:2]
+                entries.append((int(ts_ns) * 1e-9,
+                                os.path.join(seq_dir, "mav0", "cam0",
+                                             "data", fname)))
+        self.timestamps = [t for t, _ in entries]
+        self.stream = ImageStream([p for _, p in entries])
+
+    def __len__(self):
+        return len(self.timestamps)
+
+    def __iter__(self):
+        for ts, img in zip(self.timestamps, self.stream):
+            yield ts, img
