@@ -24,6 +24,12 @@ def main():
     ap.add_argument("--height", type=int, default=240)
     ap.add_argument("--features", type=int, default=500)
     ap.add_argument("--step", type=float, default=0.03)
+    ap.add_argument("--trajectory", default="lateral",
+                    choices=["lateral", "loop"],
+                    help="'loop' = closed circular survey that revisits its "
+                         "start (exercises loop closing)")
+    ap.add_argument("--radius", type=float, default=3.0,
+                    help="loop trajectory radius (world units)")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     ap.add_argument("--plot", default=None, help="save a map/trajectory PNG")
     args = ap.parse_args()

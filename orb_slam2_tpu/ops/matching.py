@@ -150,6 +150,40 @@ def search_by_projection_points(
     return Matches(best_idx.astype(jnp.int32), best, keep)
 
 
+def search_by_projection_reloc(
+    uv, pred_level, point_desc, point_valid, point_angle,
+    kp_xy, kp_level, kp_desc, kp_valid, kp_angle, already_matched,
+    scale_factors, th: float, orb_dist: int, check_rotation: bool = True,
+):
+    """Relocalization rescue search (`ORBmatcher::SearchByProjection(Frame&,
+    KeyFrame*, set&, th, ORBdist)`, `src/ORBmatcher.cc:1922-2075`): project
+    the candidate keyframe's map points at the current pose estimate; square
+    window th*scale(predicted level), candidate octaves [pred-1, pred+1],
+    accept at distance <= ORBdist (100 wide round / 64 narrow round), rotation
+    histogram vs the keyframe's keypoint angles; no best/second ratio test.
+
+    uv: (P,2) projections; point_angle: (P,) the point's keypoint angle in the
+    candidate KF; already_matched: (N,) keypoints already bound to a point.
+    """
+    sf = jnp.asarray(scale_factors)
+    radius = th * sf[jnp.clip(pred_level, 0, sf.shape[0] - 1)]
+    win = (jnp.abs(uv[:, None, 0] - kp_xy[None, :, 0]) < radius[:, None]) & (
+        jnp.abs(uv[:, None, 1] - kp_xy[None, :, 1]) < radius[:, None]
+    )
+    lvl_ok = (kp_level[None, :] >= pred_level[:, None] - 1) & (
+        kp_level[None, :] <= pred_level[:, None] + 1
+    )
+    cand = (win & lvl_ok & point_valid[:, None] & kp_valid[None, :]
+            & (~already_matched)[None, :])
+    dist = hamming_matrix(point_desc, kp_desc)
+    best, best_idx, _ = best_two(dist, cand)
+    accept = (best <= orb_dist) & point_valid
+    if check_rotation:
+        accept = rotation_consistency(point_angle, kp_angle, accept, best_idx)
+    keep = resolve_conflicts(best_idx, best, accept, kp_xy.shape[0])
+    return Matches(best_idx.astype(jnp.int32), best, keep)
+
+
 def search_by_projection_frame(
     uv, src_level, src_desc, src_valid, src_angle, src_ur,
     kp_xy, kp_level, kp_desc, kp_valid, kp_angle, kp_ur,

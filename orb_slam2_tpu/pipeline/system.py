@@ -323,6 +323,11 @@ class SlamSystem:
         self.state = OK
         if self.last_Tcw is not None:
             self.velocity = Tcw @ np.linalg.inv(self.last_Tcw)
+        if self.voc is None:
+            # keep collecting training descriptors from every tracked frame
+            # until the on-the-fly vocabulary can be built (the reference
+            # instead loads ORBvoc.txt up front, src/System.cc:58-77)
+            self._ensure_vocabulary(f)
 
         matched_pt = res.matched_pt
         need_kf = (not self.localization_only and
@@ -483,7 +488,10 @@ class SlamSystem:
     def _relocalize(self, f: FrameData):
         """Tracking::Relocalization (src/Tracking.cc:2039-2262): BoW
         candidates -> descriptor matching against candidate keyframe points
-        -> EPnP RANSAC -> pose optimization."""
+        -> EPnP RANSAC -> pose optimization -> if <50 inliers, the reference's
+        rescue rounds: wide projection re-search of the candidate KF's points
+        (window 10, ORBdist 100) and, if still 30..50, a narrow second round
+        (window 3, ORBdist 64), re-optimizing after each (:2172-2241)."""
         if self.voc is None or self.db is None:
             return None, None, False
         vec = self._bow_vec(f.desc, f.valid)
@@ -516,9 +524,23 @@ class SlamSystem:
             opt = pose_opt.optimize_pose(
                 self.cam, res.Tcw, Xw, obs, f.level, matched_pt >= 0,
                 self.cfg.level_sigma2)
-            if int(opt.n_inliers) >= 20:
-                matched_pt = jnp.where(opt.inliers, matched_pt, INVALID)
-                return opt.Tcw, matched_pt, True
+            n_good = int(opt.n_inliers)
+            if n_good < 10:
+                continue
+            matched_pt = jnp.where(opt.inliers, matched_pt, INVALID)
+            Tcw = opt.Tcw
+            if n_good < 50:
+                Tcw, matched_pt, n_inl = tracking_ops.reloc_rescue(
+                    self.cfg, self.m, k, f, Tcw, matched_pt,
+                    th=10.0, orb_dist=100)
+                n_good = int(n_inl)
+                if 30 < n_good < 50:
+                    Tcw, matched_pt, n_inl = tracking_ops.reloc_rescue(
+                        self.cfg, self.m, k, f, Tcw, matched_pt,
+                        th=3.0, orb_dist=64)
+                    n_good = int(n_inl)
+            if n_good >= 50:
+                return Tcw, matched_pt, True
         return None, None, False
 
     def _need_new_keyframe(self, f: FrameData, matched_pt, n_inliers: int):

@@ -188,6 +188,61 @@ def track_local_map(cfg: SlamConfig, m: mapstate.MapState, Tcw,
     return res.Tcw, final, res.n_inliers, visible_ids, final
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "th", "orb_dist"))
+def reloc_rescue(cfg: SlamConfig, m: mapstate.MapState, kf_id,
+                 cur: FrameData, Tcw, matched_pt, th: float, orb_dist: int):
+    """One relocalization rescue round (`src/Tracking.cc:2172-2241`): project
+    the candidate keyframe's map points at the current pose estimate
+    (wide th=10/ORBdist=100, then narrow th=3/ORBdist=64 in the reference),
+    merge new matches with the ones already found, and re-run pose
+    optimization over the merged set. Returns (Tcw', matched_pt', n_inliers)."""
+    import math
+
+    cam = cfg.camera()
+    pt = m.kf_obs[kf_id]                      # map point id per KF feature
+    ptc = jnp.clip(pt, 0, m.capacity_pt - 1)
+    pos = m.pt_pos[ptc]
+    pvalid = (pt >= 0) & m.pt_valid[ptc]
+    # skip points already matched into the frame (sAlreadyFound)
+    already_pt = jnp.zeros((m.capacity_pt,), bool).at[
+        jnp.where(matched_pt >= 0, matched_pt, m.capacity_pt)
+    ].set(True, mode="drop")
+    pvalid &= ~already_pt[ptc]
+
+    pc = se3.apply(Tcw, pos)
+    z = pc[..., 2]
+    uv = jnp.stack([cam.fx * pc[..., 0] / jnp.maximum(z, 1e-6) + cam.cx,
+                    cam.fy * pc[..., 1] / jnp.maximum(z, 1e-6) + cam.cy],
+                   axis=-1)
+    pvalid &= (z > 0) & (uv[..., 0] >= 0) & (uv[..., 0] < cfg.width) & \
+        (uv[..., 1] >= 0) & (uv[..., 1] < cfg.height)
+    Ow = se3.translation(se3.inverse(Tcw))
+    dist = jnp.linalg.norm(pos - Ow, axis=-1)
+    log_sf = math.log(cfg.scale_factor)
+    ratio = m.pt_max_dist[ptc] / jnp.maximum(dist, 1e-9)
+    pred_level = jnp.clip(
+        jnp.ceil(jnp.log(jnp.maximum(ratio, 1e-9)) / log_sf).astype(jnp.int32),
+        0, cfg.n_levels - 1)
+
+    mm = matching.search_by_projection_reloc(
+        uv, pred_level, m.kf_desc[kf_id], pvalid, m.kf_angle[kf_id],
+        cur.xy, cur.level, cur.desc, cur.valid, cur.angle, matched_pt >= 0,
+        cfg.scale_factors, th=th, orb_dist=orb_dist)
+
+    N = cur.xy.shape[0]
+    new_matched = jnp.full((N,), INVALID, jnp.int32).at[
+        jnp.where(mm.valid, mm.idx, N)
+    ].set(pt, mode="drop")
+    merged = jnp.where(matched_pt >= 0, matched_pt, new_matched)
+    has = merged >= 0
+    Xw = m.pt_pos[jnp.clip(merged, 0, m.capacity_pt - 1)]
+    obs = jnp.concatenate([cur.xy, cur.ur[:, None]], axis=-1)
+    res = pose_opt.optimize_pose(cam, Tcw, Xw, obs, cur.level, has,
+                                 cfg.level_sigma2)
+    final = jnp.where(res.inliers, merged, INVALID)
+    return res.Tcw, final, res.n_inliers
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def keyframe_stats(cfg: SlamConfig, m: mapstate.MapState, ref_kf,
                    cur: FrameData, matched_pt):

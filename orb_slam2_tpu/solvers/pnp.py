@@ -97,6 +97,50 @@ def _epnp_pose(Xw, uv, fx, fy, cx, cy):
     return se3.make(R, t)
 
 
+def _planar_pose(Xw, uv, fx, fy, cx, cy):
+    """Pose from (near-)coplanar points via plane homography decomposition.
+
+    EPnP's 4-control-point barycentric solve is singular when the scene is
+    planar (the reference's beta-case Gauss-Newton covers this,
+    `src/PnPsolver.cc:718-1020`; OpenCV falls back to a homography). Here:
+    PCA plane basis -> DLT homography (plane coords -> normalized image) ->
+    R,t from the orthonormalized first two columns. Exact for planar scenes,
+    harmless elsewhere (RANSAC scores it against the EPnP hypothesis)."""
+    n = Xw.shape[0]
+    c0 = jnp.mean(Xw, axis=0)
+    A = Xw - c0
+    cov = A.T @ A / n
+    _, vecs = jnp.linalg.eigh(cov)
+    e1, e2, nrm = vecs[:, 2], vecs[:, 1], vecs[:, 0]
+    s = jnp.stack([A @ e1, A @ e2], axis=-1)                  # (n,2) plane coords
+    mx = (uv[:, 0] - cx) / fx
+    my = (uv[:, 1] - cy) / fy
+
+    z = jnp.zeros_like(s[:, 0])
+    o = jnp.ones_like(s[:, 0])
+    r1 = jnp.stack([s[:, 0], s[:, 1], o, z, z, z,
+                    -mx * s[:, 0], -mx * s[:, 1], -mx], axis=-1)
+    r2 = jnp.stack([z, z, z, s[:, 0], s[:, 1], o,
+                    -my * s[:, 0], -my * s[:, 1], -my], axis=-1)
+    M = jnp.concatenate([r1, r2], axis=0)                     # (2n,9)
+    _, vecs9 = jnp.linalg.eigh(M.T @ M)
+    G = vecs9[:, 0].reshape(3, 3)
+
+    # sign: plane barycentre must sit in front of the camera
+    zc = G[2, 2]
+    G = G * jnp.where(zc < 0, -1.0, 1.0)
+    U2, S2, Vt2 = jnp.linalg.svd(G[:, :2], full_matrices=False)
+    Rc = U2 @ Vt2                                             # closest orthonormal pair
+    lam = 2.0 / jnp.maximum(S2[0] + S2[1], 1e-12)
+    r3 = jnp.cross(Rc[:, 0], Rc[:, 1])
+    R_pl = jnp.stack([Rc[:, 0], Rc[:, 1], r3], axis=1)
+    t_pl = lam * G[:, 2]
+    E = jnp.stack([e1, e2, nrm], axis=1)                      # world -> plane coords: E^T (X - c0)
+    R_cw = R_pl @ E.T
+    t_cw = t_pl - R_cw @ c0
+    return se3.make(R_cw, t_cw)
+
+
 class PnPResult(NamedTuple):
     Tcw: jnp.ndarray
     inliers: jnp.ndarray
@@ -135,9 +179,14 @@ def ransac_pnp(Xw, uv, level, valid, level_sigma2,
         return jnp.sum(inl.astype(jnp.int32)), inl
 
     def one(idx):
-        T = _epnp_pose(Xw[idx], uv[idx], fx, fy, cx, cy)
-        n, _ = score(T)
-        return T, n
+        # two hypotheses per sample: general EPnP + the planar-homography
+        # pose (EPnP is singular on coplanar scenes); score picks per sample
+        Ta = _epnp_pose(Xw[idx], uv[idx], fx, fy, cx, cy)
+        Tb = _planar_pose(Xw[idx], uv[idx], fx, fy, cx, cy)
+        na, _ = score(Ta)
+        nb, _ = score(Tb)
+        T = jnp.where(nb > na, Tb, Ta)
+        return T, jnp.maximum(na, nb)
 
     Ts, ns = jax.vmap(one)(sets)
     best = jnp.argmax(ns)

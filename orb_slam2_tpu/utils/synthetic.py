@@ -95,6 +95,24 @@ def lateral_trajectory(n_frames, step=0.02, yaw_rate=0.0):
     return poses
 
 
+def loop_trajectory(n_frames, radius=3.0, overshoot=0.3, z0=None):
+    """Closed circular survey over the plane: the camera translates around a
+    circle of `radius` in the x-y plane (optical axis fixed toward the
+    plane), returning to the starting view after one revolution and
+    continuing `overshoot` of a second lap — the revisit region that lets
+    place recognition fire on several consecutive keyframes (the loop-closing
+    consistency gate needs >= 3). Views midway around the circle see disjoint
+    texture, so the revisit is only reachable through BoW retrieval."""
+    total = 2.0 * np.pi * (1.0 + overshoot)
+    poses = []
+    for i in range(n_frames):
+        a = total * i / n_frames
+        T = np.eye(4)
+        T[:3, 3] = [radius * np.cos(a) - radius, radius * np.sin(a), 0.0]
+        poses.append(T)
+    return poses
+
+
 def ate_rmse(est_poses, gt_poses, align=True, with_scale=False):
     """Absolute trajectory error after (optional) Umeyama alignment.
 

@@ -103,6 +103,24 @@ class TestPnP:
         assert inl[:40].sum() <= 2
         np.testing.assert_allclose(np.asarray(res.Tcw), T, atol=0.03)
 
+    def test_planar_scene(self, rng):
+        """EPnP's barycentric solve is singular on coplanar points; the
+        planar-homography hypothesis (`_planar_pose`) must carry relocation
+        on flat scenes (e.g. the synthetic plane world)."""
+        n = 120
+        Xw = np.concatenate([rng.uniform(-3, 3, (n, 2)),
+                             np.full((n, 1), 5.0)], axis=1).astype(np.float32)
+        T = np.asarray(se3.exp(jnp.asarray([0.25, -0.15, 0.1, 0.04, -0.06, 0.08])))
+        pc = Xw @ T[:3, :3].T + T[:3, 3]
+        uv = np.stack([500 * pc[:, 0] / pc[:, 2] + 320,
+                       500 * pc[:, 1] / pc[:, 2] + 240], -1).astype(np.float32)
+        res = pnp.ransac_pnp(jnp.asarray(Xw), jnp.asarray(uv),
+                             jnp.zeros(n, jnp.int32), jnp.ones(n, bool),
+                             LEVEL_SIGMA2, 500.0, 500.0, 320.0, 240.0)
+        assert bool(res.ok)
+        assert int(res.n_inliers) > 100
+        np.testing.assert_allclose(np.asarray(res.Tcw), T, atol=0.02)
+
 
 class TestSim3:
     def test_recovers_similarity(self, rng):

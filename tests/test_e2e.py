@@ -40,6 +40,31 @@ class TestEndToEnd:
         assert rmse < 0.05, rmse
         assert int(s.m.n_points) > 200
 
+    def test_relocalization_after_kidnap(self):
+        """Tracking::Relocalization e2e (src/Tracking.cc:2039-2262): build a
+        map, kidnap the tracker (force LOST), feed a frame rendered at an
+        already-mapped pose, and require the PnP + rescue-round pipeline to
+        recover it with a correct pose."""
+        from orb_slam2_tpu.pipeline import system as system_mod
+
+        cfg = small_cfg(SENSOR_RGBD)
+        world = PlaneWorld(cfg.fx, cfg.fy, cfg.cx, cfg.cy, 320, 240, z0=4.0)
+        gt = lateral_trajectory(14, step=0.04, yaw_rate=0.004)
+        s = SlamSystem(cfg)
+        for i, T in enumerate(gt):
+            img, depth = world.render_with_depth(T)
+            s.track_rgbd(img, depth, i * 0.1)
+        assert s.voc is not None, "vocabulary should have self-trained"
+
+        s.state = system_mod.LOST          # kidnap
+        revisit = 4
+        img, depth = world.render_with_depth(gt[revisit])
+        Tcw = s.track_rgbd(img, depth, 99.0)
+        assert Tcw is not None, "relocalization failed"
+        assert s.get_tracking_state() == system_mod.OK
+        t_err = np.linalg.norm(np.linalg.inv(Tcw)[:3, 3] - gt[revisit][:3, 3])
+        assert t_err < 0.05, t_err
+
     def test_mono_initializes_and_tracks(self):
         cfg = small_cfg(SENSOR_MONOCULAR, n_features=1000)
         world = PlaneWorld(cfg.fx, cfg.fy, cfg.cx, cfg.cy, 320, 240, z0=4.0)
