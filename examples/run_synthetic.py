@@ -40,23 +40,28 @@ def main():
 
     from orb_slam2_tpu.utils.config import (SlamConfig, SENSOR_MONOCULAR,
                                             SENSOR_STEREO, SENSOR_RGBD)
-    from orb_slam2_tpu.utils.synthetic import PlaneWorld, lateral_trajectory, ate_rmse
+    from orb_slam2_tpu.utils.synthetic import (PlaneWorld, lateral_trajectory,
+                                               loop_trajectory, ate_rmse)
     from orb_slam2_tpu.pipeline.system import SlamSystem
 
     sensor = dict(mono=SENSOR_MONOCULAR, stereo=SENSOR_STEREO, rgbd=SENSOR_RGBD)[args.sensor]
     fx = fy = 300.0
     cx, cy = args.width / 2, args.height / 2
     baseline = 0.1
+    loop = args.trajectory == "loop"
     cfg = SlamConfig(
         fx=fx, fy=fy, cx=cx, cy=cy, width=args.width, height=args.height,
         n_features=args.features, bf=fx * baseline if sensor != SENSOR_MONOCULAR else 0.0,
         sensor=sensor, fps=10.0, th_depth=40.0,
-        max_keyframes=64, max_map_points=1 << 14,
+        max_keyframes=128 if loop else 64, max_map_points=1 << 14,
         ba_local_cams=16, ba_fixed_cams=16, ba_max_points=1 << 11, ba_max_obs=8,
         max_local_keyframes=32, max_local_points=1 << 12,
     )
     world = PlaneWorld(fx, fy, cx, cy, args.width, args.height, z0=5.0)
-    gt = lateral_trajectory(args.frames, step=args.step, yaw_rate=0.004)
+    if loop:
+        gt = loop_trajectory(args.frames, radius=args.radius)
+    else:
+        gt = lateral_trajectory(args.frames, step=args.step, yaw_rate=0.004)
 
     sys_ = SlamSystem(cfg)
     times = []
@@ -86,6 +91,8 @@ def main():
     traj = sys_.get_trajectory()
     print(f"\ntracked {len(traj)}/{args.frames} frames; "
           f"median frame time {np.median(times[2:])*1000:.1f} ms")
+    print(f"keyframes: {int(sys_.m.n_keyframes)}  map points: "
+          f"{int(sys_.m.n_points)}  loops closed: {sys_.n_loops_closed}")
     if args.plot:
         from orb_slam2_tpu import viewer
         viewer.plot_map(sys_.m, [(t, T) for t, T in traj], path=args.plot,
