@@ -30,6 +30,10 @@ def main():
                          "start (exercises loop closing)")
     ap.add_argument("--radius", type=float, default=3.0,
                     help="loop trajectory radius (world units)")
+    ap.add_argument("--world", default="plates", choices=["plates", "plane"],
+                    help="'plates' adds 3D relief (realistic geometry); "
+                         "'plane' is the degenerate single-plane scene")
+    ap.add_argument("--no-loop-closing", action="store_true")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     ap.add_argument("--plot", default=None, help="save a map/trajectory PNG")
     args = ap.parse_args()
@@ -40,7 +44,8 @@ def main():
 
     from orb_slam2_tpu.utils.config import (SlamConfig, SENSOR_MONOCULAR,
                                             SENSOR_STEREO, SENSOR_RGBD)
-    from orb_slam2_tpu.utils.synthetic import (PlaneWorld, lateral_trajectory,
+    from orb_slam2_tpu.utils.synthetic import (PlaneWorld, PlateWorld,
+                                               lateral_trajectory,
                                                loop_trajectory, ate_rmse)
     from orb_slam2_tpu.pipeline.system import SlamSystem
 
@@ -57,13 +62,14 @@ def main():
         ba_local_cams=16, ba_fixed_cams=16, ba_max_points=1 << 11, ba_max_obs=8,
         max_local_keyframes=32, max_local_points=1 << 12,
     )
-    world = PlaneWorld(fx, fy, cx, cy, args.width, args.height, z0=5.0)
+    world_cls = PlateWorld if args.world == "plates" else PlaneWorld
+    world = world_cls(fx, fy, cx, cy, args.width, args.height, z0=5.0)
     if loop:
         gt = loop_trajectory(args.frames, radius=args.radius)
     else:
         gt = lateral_trajectory(args.frames, step=args.step, yaw_rate=0.004)
 
-    sys_ = SlamSystem(cfg)
+    sys_ = SlamSystem(cfg, enable_loop_closing=not args.no_loop_closing)
     times = []
     est = {}
     for i, T_wc in enumerate(gt):

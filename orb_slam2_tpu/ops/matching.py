@@ -247,6 +247,56 @@ def search_for_initialization(
     return Matches(best_idx.astype(jnp.int32), best, keep)
 
 
+def search_by_sim3(
+    pc1, uv1, lvl1, desc1, valid1,
+    pc2, uv2, lvl2, desc2, valid2,
+    g12, scale_factors, fx: float, fy: float, cx: float, cy: float,
+    th: float = 7.5, max_dist: int = TH_HIGH,
+):
+    """Guided mutual Sim3 search (`ORBmatcher::SearchBySim3`,
+    `src/ORBmatcher.cc:1139-1320`): project KF2's points into KF1's image via
+    g12 and KF1's into KF2 via g12^-1, window th*scale per source feature,
+    accept pairs where both directions pick each other at distance <= TH_HIGH.
+
+    pc1/pc2: (N,3) bound map points in each camera frame; uv1/uv2 their
+    keypoint pixels; g12 maps cam-2 points into cam 1. Returns Matches over
+    KF1 features (idx into KF2 features)."""
+    from ..geometry import sim3 as sim3_mod
+
+    sf = jnp.asarray(scale_factors)
+
+    def project(p):
+        z = jnp.maximum(p[..., 2], 1e-9)
+        return jnp.stack([fx * p[..., 0] / z + cx,
+                          fy * p[..., 1] / z + cy], axis=-1), p[..., 2]
+
+    uv2in1, z21 = project(sim3_mod.apply(g12, pc2))        # (N2,2)
+    uv1in2, z12 = project(sim3_mod.apply(sim3_mod.inverse(g12), pc1))
+    r2 = th * sf[jnp.clip(lvl2, 0, sf.shape[0] - 1)]       # window for 2->1
+    r1 = th * sf[jnp.clip(lvl1, 0, sf.shape[0] - 1)]
+
+    # direction 2->1: candidate KF1 keypoints near each projected KF2 point
+    win21 = (jnp.abs(uv2in1[:, None, 0] - uv1[None, :, 0]) < r2[:, None]) & (
+        jnp.abs(uv2in1[:, None, 1] - uv1[None, :, 1]) < r2[:, None])
+    cand21 = win21 & (z21 > 0)[:, None] & valid2[:, None] & valid1[None, :]
+    dist21 = hamming_matrix(desc2, desc1)                  # (N2,N1)
+    best21, idx21, _ = best_two(dist21, cand21)            # per KF2 feature
+
+    # direction 1->2
+    win12 = (jnp.abs(uv1in2[:, None, 0] - uv2[None, :, 0]) < r1[:, None]) & (
+        jnp.abs(uv1in2[:, None, 1] - uv2[None, :, 1]) < r1[:, None])
+    cand12 = win12 & (z12 > 0)[:, None] & valid1[:, None] & valid2[None, :]
+    best12, idx12, _ = best_two(hamming_matrix(desc1, desc2), cand12)
+
+    # mutual agreement (the reference's final check, :1300-1318)
+    j = idx12                                              # (N1,)
+    mutual = (idx21[jnp.clip(j, 0, idx21.shape[0] - 1)] ==
+              jnp.arange(idx12.shape[0]))
+    accept = mutual & (best12 <= max_dist) & \
+        (best21[jnp.clip(j, 0, best21.shape[0] - 1)] <= max_dist) & valid1
+    return Matches(idx12.astype(jnp.int32), best12, accept)
+
+
 def search_by_node(
     node_a, desc_a, valid_a, angle_a,
     node_b, desc_b, valid_b, angle_b,

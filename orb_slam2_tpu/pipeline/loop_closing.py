@@ -121,13 +121,101 @@ def compute_sim3(cfg: SlamConfig, m: mapstate.MapState, kf_id: int,
     valid = mm.valid & (pt1 >= 0) & (pt2 >= 0) & \
         m.pt_valid[jnp.clip(pt1, 0, P - 1)] & m.pt_valid[jnp.clip(pt2, 0, P - 1)]
 
+    idxm = jnp.clip(mm.idx, 0, N - 1)
     res = sim3_solver.ransac_sim3(
-        pc1, pc2, m.kf_level[kf_id], m.kf_level[cand_id][jnp.clip(mm.idx, 0, N - 1)],
+        pc1, pc2, m.kf_level[kf_id], m.kf_level[cand_id][idxm],
         valid, cfg.level_sigma2, cfg.fx, cfg.fy, cfg.cx, cfg.cy,
-        fix_scale=cfg.sensor != SENSOR_MONOCULAR)
+        fix_scale=cfg.sensor != SENSOR_MONOCULAR,
+        ur1=m.kf_ur[kf_id], ur2=m.kf_ur[cand_id][idxm], bf=float(cfg.bf))
     if not bool(res.ok):
         return False, None, None
-    return True, res.g12, int(res.n_inliers)
+
+    # guided mutual re-search with the RANSAC estimate (SearchBySim3,
+    # `src/LoopClosing.cc:430-440`) to grow the match set
+    pos_all1 = m.pt_pos[jnp.clip(m.kf_obs[kf_id], 0, P - 1)]
+    pos_all2 = m.pt_pos[jnp.clip(m.kf_obs[cand_id], 0, P - 1)]
+    pcv1 = se3.apply(m.kf_pose[kf_id], pos_all1)
+    pcv2 = se3.apply(m.kf_pose[cand_id], pos_all2)
+    ok1 = f_ok1 & m.pt_valid[jnp.clip(m.kf_obs[kf_id], 0, P - 1)]
+    ok2 = f_ok2 & m.pt_valid[jnp.clip(m.kf_obs[cand_id], 0, P - 1)]
+    mm2 = matching.search_by_sim3(
+        pcv1, m.kf_xy[kf_id], m.kf_level[kf_id], m.kf_desc[kf_id], ok1,
+        pcv2, m.kf_xy[cand_id], m.kf_level[cand_id], m.kf_desc[cand_id], ok2,
+        res.g12, cfg.scale_factors, cfg.fx, cfg.fy, cfg.cx, cfg.cy)
+    # union: keep BoW matches, fill gaps with guided matches
+    idx = jnp.where(mm.valid & valid, mm.idx, mm2.idx)
+    pair_ok = (mm.valid & valid) | mm2.valid
+
+    # reprojection-error Sim3 refinement (OptimizeSim3,
+    # `src/LoopClosing.cc:442-448` with th2=10): image keypoints are exact
+    # measurements, so this fixes the drift noise a 3D-3D Horn fit inherits
+    # from duplicated map points
+    idxc = jnp.clip(idx, 0, N - 1)
+    g_opt, inl, n_inl = sim3_solver.optimize_sim3(
+        res.g12, pcv1, pcv2[idxc],
+        m.kf_xy[kf_id], m.kf_xy[cand_id][idxc],
+        m.kf_level[kf_id], m.kf_level[cand_id][idxc],
+        pair_ok & ok1 & ok2[idxc],
+        cfg.level_sigma2, cfg.fx, cfg.fy, cfg.cx, cfg.cy,
+        fix_scale=cfg.sensor != SENSOR_MONOCULAR,
+        ur1=m.kf_ur[kf_id], ur2=m.kf_ur[cand_id][idxc], bf=float(cfg.bf))
+    if int(n_inl) < 20:
+        return False, None, None
+
+    # final acceptance gate (`src/LoopClosing.cc:484-540`): project the loop
+    # group's map points into the current KF with the corrected Scw and
+    # require >= 40 total matches. This is what rejects geometrically weak
+    # Sim3 estimates (e.g. matches confined to a thin overlap strip, where
+    # the planar two-fold ambiguity leaves Scw meters off) until a later
+    # keyframe with stronger overlap closes the loop.
+    Scw = sim3.compose(g_opt, sim3.Sim3.from_se3(m.kf_pose[cand_id]))
+    n_total = _count_loop_projection_matches(cfg, m, kf_id, cand_id, Scw)
+    if n_total < 40:
+        return False, None, None
+    return True, g_opt, int(n_inl)
+
+
+def _count_loop_projection_matches(cfg: SlamConfig, m: mapstate.MapState,
+                                   kf_id: int, cand_id: int, Scw: Sim3):
+    """`SearchByProjection(KeyFrame*, Scw, vpPoints, ...)` match count
+    (`src/ORBmatcher.cc:760-914` used at `src/LoopClosing.cc:511-519`):
+    gather the candidate's covisibility group's points, project with Scw
+    (window 10*scale(predicted octave), TH_LOW), count hits."""
+    import math
+
+    P = m.capacity_pt
+    group = (m.covis[cand_id] > 0) & m.kf_valid
+    group = group.at[cand_id].set(True)
+    loop_pts = jnp.zeros((P,), bool).at[
+        jnp.where(group[:, None] & (m.kf_obs >= 0), m.kf_obs, P)
+    ].set(True, mode="drop") & m.pt_valid
+    ids = jnp.nonzero(loop_pts, size=P // 4, fill_value=-1)[0]
+    idc = jnp.clip(ids, 0, P - 1)
+    pos = m.pt_pos[idc]
+    pc = sim3.apply(Scw, pos)
+    pc = pc / jnp.maximum(Scw.s, 1e-12)          # SE3 part of Scw
+    z = pc[..., 2]
+    uv = jnp.stack([cfg.fx * pc[..., 0] / jnp.maximum(z, 1e-6) + cfg.cx,
+                    cfg.fy * pc[..., 1] / jnp.maximum(z, 1e-6) + cfg.cy], -1)
+    ok = (ids >= 0) & (z > 0) & \
+        (uv[..., 0] >= 0) & (uv[..., 0] < cfg.width) & \
+        (uv[..., 1] >= 0) & (uv[..., 1] < cfg.height)
+    # predicted octave from the scale-invariance band
+    Ow = -jnp.einsum("ji,j->i", Scw.R, Scw.t) / jnp.maximum(Scw.s, 1e-12)
+    dist = jnp.linalg.norm(pos - Ow, axis=-1)
+    ok &= (dist >= 0.8 * m.pt_min_dist[idc]) & (dist <= 1.2 * m.pt_max_dist[idc])
+    log_sf = math.log(cfg.scale_factor)
+    ratio = m.pt_max_dist[idc] / jnp.maximum(dist, 1e-9)
+    pred = jnp.clip(jnp.ceil(jnp.log(jnp.maximum(ratio, 1e-9)) / log_sf
+                             ).astype(jnp.int32), 0, cfg.n_levels - 1)
+    f_ok = m.kf_feat_valid[kf_id]
+    mm = matching.search_by_projection_reloc(
+        uv, pred, m.pt_desc[idc], ok, jnp.zeros_like(dist),
+        m.kf_xy[kf_id], m.kf_level[kf_id], m.kf_desc[kf_id], f_ok,
+        m.kf_angle[kf_id], jnp.zeros_like(f_ok),
+        cfg.scale_factors, th=10.0, orb_dist=cfg.th_low,
+        check_rotation=False)
+    return int(jnp.sum(mm.valid))
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))

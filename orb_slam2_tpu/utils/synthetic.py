@@ -95,6 +95,85 @@ def lateral_trajectory(n_frames, step=0.02, yaw_rate=0.0):
     return poses
 
 
+class PlateWorld(PlaneWorld):
+    """Ground plane + raised rectangular plates: true 3D relief.
+
+    The single infinite plane of PlaneWorld is a degenerate SLAM scene —
+    planar PnP/Sim3 have a two-fold pose ambiguity and near-flat cost
+    valleys, so loop-closure Sim3 estimates wander meters along them (the
+    reference's solvers share the failure mode on flat scenes). Raised
+    plates (top faces parallel to the ground at random heights) break the
+    degeneracy while keeping rendering exact: per pixel, the nearest
+    positive-t plane hit among ground + plate tops, with true depth."""
+
+    def __init__(self, fx, fy, cx, cy, width, height, z0=5.0,
+                 tex_size=2048, tex_scale=60.0, seed=42,
+                 n_plates=200, relief=(0.3, 1.5), plate_size=(0.5, 2.0),
+                 extent=14.0):
+        super().__init__(fx, fy, cx, cy, width, height, z0=z0,
+                         tex_size=tex_size, tex_scale=tex_scale, seed=seed)
+        rng = np.random.default_rng(seed + 1)
+        cxy = rng.uniform(-extent, extent, (n_plates, 2))
+        wh = rng.uniform(plate_size[0], plate_size[1], (n_plates, 2))
+        self.px0 = cxy[:, 0] - wh[:, 0] / 2
+        self.px1 = cxy[:, 0] + wh[:, 0] / 2
+        self.py0 = cxy[:, 1] - wh[:, 1] / 2
+        self.py1 = cxy[:, 1] + wh[:, 1] / 2
+        self.pz = z0 - rng.uniform(relief[0], relief[1], n_plates)
+        # texture offset per plate decorrelates its appearance from the
+        # ground directly beneath it
+        self.toff = rng.uniform(0, tex_size, (n_plates, 2))
+
+    def _render(self, T_wc):
+        R = T_wc[:3, :3]
+        c = T_wc[:3, 3]
+        us, vs = np.meshgrid(np.arange(self.w), np.arange(self.h))
+        d_cam = np.stack([(us - self.cx) / self.fx,
+                          (vs - self.cy) / self.fy,
+                          np.ones_like(us, dtype=np.float64)], axis=-1)
+        d_world = d_cam @ R.T
+        dz = d_world[..., 2]
+        dz = np.where(np.abs(dz) < 1e-9, 1e-9, dz)
+
+        # nearest positive-t surface, incrementally over ground + plates
+        # (one (H,W) pass per plate keeps memory flat)
+        dx, dy = d_world[..., 0], d_world[..., 1]
+
+        def hit_plane(zp):
+            t = (zp - c[2]) / dz
+            return t, c[0] + t * dx, c[1] + t * dy
+
+        t, x, y = hit_plane(self.z0)
+        ok = t > 0
+        best_t = np.where(ok, t, np.inf)
+        best_x, best_y = x, y
+        best_z = np.full_like(t, self.z0)
+        best_ox = np.zeros_like(t)
+        best_oy = np.zeros_like(t)
+        for b in range(len(self.pz)):
+            t, x, y = hit_plane(self.pz[b])
+            ok = (t > 0) & (t < best_t) & \
+                (x >= self.px0[b]) & (x <= self.px1[b]) & \
+                (y >= self.py0[b]) & (y <= self.py1[b])
+            best_t = np.where(ok, t, best_t)
+            best_x = np.where(ok, x, best_x)
+            best_y = np.where(ok, y, best_y)
+            best_z = np.where(ok, self.pz[b], best_z)
+            best_ox = np.where(ok, self.toff[b, 0], best_ox)
+            best_oy = np.where(ok, self.toff[b, 1], best_oy)
+
+        valid = np.isfinite(best_t)
+        tx = best_x * self.tex_scale + self.tex_size / 2 + best_ox
+        ty = best_y * self.tex_scale + self.tex_size / 2 + best_oy
+        img = self._sample(tx % (self.tex_size - 2), ty % (self.tex_size - 2))
+        img = np.where(valid, img, 0.0)
+
+        hit = np.stack([best_x, best_y, best_z], axis=-1)
+        p_cam = (hit - c) @ R
+        zc = np.where(valid, p_cam[..., 2], 0.0)
+        return img.astype(np.float32), zc.astype(np.float32)
+
+
 def loop_trajectory(n_frames, radius=3.0, overshoot=0.3, z0=None):
     """Closed circular survey over the plane: the camera translates around a
     circle of `radius` in the x-y plane (optical axis fixed toward the

@@ -171,3 +171,114 @@ class TestSim3:
         inl = np.asarray(res.inliers)
         assert inl[:20].sum() <= 2
         np.testing.assert_allclose(float(res.g12.s), 1.2, atol=0.02)
+
+
+class TestOptimizeSim3:
+    """Reprojection-error Sim3 refinement (`Optimizer::OptimizeSim3`,
+    `src/Optimizer.cc:1405-1640`)."""
+
+    def _setup(self, rng, n=60):
+        pc2 = np.stack([rng.uniform(-2, 2, n), rng.uniform(-1.5, 1.5, n),
+                        rng.uniform(3, 8, n)], -1).astype(np.float32)
+        g_true = sim3.Sim3.from_se3(se3.exp(
+            jnp.asarray([0.2, -0.1, 0.15, 0.03, -0.05, 0.02])))
+        pc1 = np.asarray(sim3.apply(g_true, jnp.asarray(pc2)))
+
+        def proj(p):
+            return np.stack([500 * p[:, 0] / p[:, 2] + 320,
+                             500 * p[:, 1] / p[:, 2] + 240], -1)
+
+        return pc1, pc2, proj(pc1), proj(pc2), g_true
+
+    def test_converges_from_perturbed_init(self, rng):
+        n = 60
+        pc1, pc2, uv1, uv2, g_true = self._setup(rng, n)
+        g0 = sim3.compose(sim3.exp(jnp.asarray(
+            [0.05, -0.03, 0.04, 0.01, 0.02, -0.01, 0.0])), g_true)
+        lvl = jnp.zeros(n, jnp.int32)
+        g_opt, inl, n_inl = sim3_solver.optimize_sim3(
+            g0, jnp.asarray(pc1), jnp.asarray(pc2), jnp.asarray(uv1),
+            jnp.asarray(uv2), lvl, lvl, jnp.ones(n, bool), LEVEL_SIGMA2,
+            500.0, 500.0, 320.0, 240.0, fix_scale=True)
+        assert int(n_inl) == n
+        np.testing.assert_allclose(np.asarray(g_opt.R), np.asarray(g_true.R),
+                                   atol=1e-4)
+        np.testing.assert_allclose(np.asarray(g_opt.t), np.asarray(g_true.t),
+                                   atol=1e-3)
+
+    def test_prunes_outlier_pairs(self, rng):
+        n = 60
+        pc1, pc2, uv1, uv2, g_true = self._setup(rng, n)
+        uv1 = uv1.copy()
+        uv1[:10] += rng.uniform(20, 60, (10, 2))      # corrupt 10 pairs
+        lvl = jnp.zeros(n, jnp.int32)
+        g_opt, inl, n_inl = sim3_solver.optimize_sim3(
+            g_true, jnp.asarray(pc1), jnp.asarray(pc2), jnp.asarray(uv1),
+            jnp.asarray(uv2), lvl, lvl, jnp.ones(n, bool), LEVEL_SIGMA2,
+            500.0, 500.0, 320.0, 240.0, fix_scale=True)
+        inl = np.asarray(inl)
+        assert inl[:10].sum() == 0
+        assert inl[10:].all()
+        np.testing.assert_allclose(np.asarray(g_opt.R), np.asarray(g_true.R),
+                                   atol=1e-3)
+
+    def test_stereo_channel_breaks_planar_flip(self, rng):
+        """On a coplanar point set the flipped planar-pose solution
+        reprojects almost as well as the truth; the disparity residual
+        separates them (TPU-native extension, see solver docstring)."""
+        n = 50
+        pc2 = np.concatenate([rng.uniform(-2, 2, (n, 2)),
+                              np.full((n, 1), 5.0)], 1).astype(np.float32)
+        g_true = sim3.Sim3.from_se3(se3.exp(
+            jnp.asarray([0.1, -0.05, 0.02, 0.02, -0.03, 0.01])))
+        pc1 = np.asarray(sim3.apply(g_true, jnp.asarray(pc2)))
+
+        bf = 50.0
+        def proj(p):
+            return np.stack([500 * p[:, 0] / p[:, 2] + 320,
+                             500 * p[:, 1] / p[:, 2] + 240], -1)
+        ur1 = proj(pc1)[:, 0] - bf / pc1[:, 2]
+        ur2 = proj(pc2)[:, 0] - bf / pc2[:, 2]
+        lvl = jnp.zeros(n, jnp.int32)
+        g0 = sim3.compose(sim3.exp(jnp.asarray(
+            [0.03, -0.02, 0.03, 0.008, 0.015, -0.008, 0.0])), g_true)
+        g_opt, inl, n_inl = sim3_solver.optimize_sim3(
+            g0, jnp.asarray(pc1), jnp.asarray(pc2),
+            jnp.asarray(proj(pc1)), jnp.asarray(proj(pc2)), lvl, lvl,
+            jnp.ones(n, bool), LEVEL_SIGMA2, 500.0, 500.0, 320.0, 240.0,
+            fix_scale=True, ur1=jnp.asarray(ur1), ur2=jnp.asarray(ur2),
+            bf=bf)
+        assert int(n_inl) == n
+        np.testing.assert_allclose(np.asarray(g_opt.t), np.asarray(g_true.t),
+                                   atol=2e-3)
+
+
+class TestSearchBySim3:
+    def test_mutual_guided_matching(self, rng):
+        """`ORBmatcher::SearchBySim3` (`src/ORBmatcher.cc:1139-1320`)."""
+        from orb_slam2_tpu.ops import matching
+        n = 64
+        pc2 = np.stack([rng.uniform(-2, 2, n), rng.uniform(-1.5, 1.5, n),
+                        rng.uniform(3, 8, n)], -1).astype(np.float32)
+        g = sim3.Sim3.from_se3(se3.exp(
+            jnp.asarray([0.1, 0.0, 0.05, 0.01, -0.02, 0.0])))
+        pc1 = np.asarray(sim3.apply(g, jnp.asarray(pc2)))
+
+        def proj(p):
+            return np.stack([500 * p[:, 0] / p[:, 2] + 320,
+                             500 * p[:, 1] / p[:, 2] + 240], -1)
+
+        perm = rng.permutation(n)
+        desc2 = rng.integers(0, 2**32, (n, 8), dtype=np.uint32)
+        desc1 = desc2[perm]                      # feature i of KF1 = perm[i] of KF2
+        lvl = jnp.zeros(n, jnp.int32)
+        mm = matching.search_by_sim3(
+            jnp.asarray(pc1[perm]), jnp.asarray(proj(pc1[perm])), lvl,
+            jnp.asarray(desc1), jnp.ones(n, bool),
+            jnp.asarray(pc2), jnp.asarray(proj(pc2)), lvl,
+            jnp.asarray(desc2), jnp.ones(n, bool),
+            g, [1.2 ** i for i in range(8)], 500.0, 500.0, 320.0, 240.0)
+        idx = np.asarray(mm.idx)
+        valid = np.asarray(mm.valid)
+        assert valid.mean() > 0.9
+        assert (idx[valid] == perm[valid]).all()
