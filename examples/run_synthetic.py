@@ -30,6 +30,9 @@ def main():
                          "start (exercises loop closing)")
     ap.add_argument("--radius", type=float, default=3.0,
                     help="loop trajectory radius (world units)")
+    ap.add_argument("--baseline", type=float, default=0.25,
+                    help="stereo/RGBD baseline in world units (z0=5 -> "
+                         "z/b ~ 20, comparable to TUM fr1 geometry)")
     ap.add_argument("--world", default="plates", choices=["plates", "plane"],
                     help="'plates' adds 3D relief (realistic geometry); "
                          "'plane' is the degenerate single-plane scene")
@@ -52,7 +55,7 @@ def main():
     sensor = dict(mono=SENSOR_MONOCULAR, stereo=SENSOR_STEREO, rgbd=SENSOR_RGBD)[args.sensor]
     fx = fy = 300.0
     cx, cy = args.width / 2, args.height / 2
-    baseline = 0.1
+    baseline = args.baseline
     loop = args.trajectory == "loop"
     cfg = SlamConfig(
         fx=fx, fy=fy, cx=cx, cy=cy, width=args.width, height=args.height,

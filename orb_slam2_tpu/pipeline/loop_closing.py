@@ -337,9 +337,13 @@ def _essential_graph(cfg: SlamConfig, m: mapstate.MapState, pose_before,
     ms = np.ones(E, np.float32)
     for n, (i, j) in enumerate(uniq):
         ei[n], ej[n], ev[n] = i, j, True
-        # measurement Sji from post-correction poses where both corrected,
-        # else pre-correction (reference uses NonCorrectedSim3 map)
-        use_after = group_np[i] and group_np[j]
+        # measurement Sji: loop-connection edges use the CORRECTED poses
+        # (the reference computes them from vScw, src/Optimizer.cc:1139-1160)
+        # — this edge carries the new information that closes the cycle;
+        # old spanning-tree/covisibility edges use pre-correction poses
+        # (NonCorrectedSim3) so the graph redistributes the drift
+        is_loop_edge = {i, j} == {kf_id, cand_id}
+        use_after = is_loop_edge or (group_np[i] and group_np[j])
         Pi = pose_a[i] if use_after else pose_b[i]
         Pj = pose_a[j] if use_after else pose_b[j]
         rel = Pj @ np.linalg.inv(Pi)

@@ -171,6 +171,19 @@ class PlateWorld(PlaneWorld):
         hit = np.stack([best_x, best_y, best_z], axis=-1)
         p_cam = (hit - c) @ R
         zc = np.where(valid, p_cam[..., 2], 0.0)
+        # emulate a real depth camera: occlusion-edge pixels are invalid
+        # (Kinect returns 0 there; TUM treats 0 as no-depth). Keypoints that
+        # land on a plate boundary then fall back to mono instead of picking
+        # up a grossly wrong surface depth.
+        zmin = zc.copy()
+        zmax = zc.copy()
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                n = np.roll(np.roll(zc, dy, 0), dx, 1)
+                zmin = np.minimum(zmin, n)
+                zmax = np.maximum(zmax, n)
+        edge = (zmax - zmin) > 0.02 * np.maximum(zc, 1e-6)
+        zc = np.where(edge, 0.0, zc)
         return img.astype(np.float32), zc.astype(np.float32)
 
 
