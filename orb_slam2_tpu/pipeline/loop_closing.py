@@ -283,7 +283,8 @@ def correct_loop(cfg: SlamConfig, m: mapstate.MapState, kf_id: int,
             cfg, m, int(k), loop_pt_ids, loop_pt_ids >= 0)
 
     # 3. essential-graph optimization over all keyframes
-    m = _essential_graph(cfg, m, pose_before, kf_id, cand_id, group)
+    m = _essential_graph(cfg, m, pose_before, kf_id, cand_id, group,
+                         mesh=mesh)
 
     # 4. global BA (the reference spawns a thread; we run it synchronously,
     # optionally sharded over a device mesh)
@@ -292,11 +293,12 @@ def correct_loop(cfg: SlamConfig, m: mapstate.MapState, kf_id: int,
 
 
 def _essential_graph(cfg: SlamConfig, m: mapstate.MapState, pose_before,
-                     kf_id: int, cand_id: int, group):
+                     kf_id: int, cand_id: int, group, mesh=None):
     """Build + solve the Sim3 pose graph (`OptimizeEssentialGraph`,
     `src/Optimizer.cc:1069-1404`): spanning-tree edges, high-covisibility
     edges (w >= 100), and the new loop edge; measurements from pre-correction
-    poses except the loop edge."""
+    poses except the loop edge. With a mesh, the solve shards the edge axis
+    (parallel/sharded_pose_graph.py)."""
     K = m.capacity_kf
     valid = np.asarray(m.kf_valid)
     covis = np.asarray(m.covis)
@@ -359,8 +361,14 @@ def _essential_graph(cfg: SlamConfig, m: mapstate.MapState, pose_before,
         edge_i=jnp.asarray(ei), edge_j=jnp.asarray(ej),
         edge_meas=Sim3(jnp.asarray(mR), jnp.asarray(mt), jnp.asarray(ms)),
         edge_valid=jnp.asarray(ev))
-    out = pose_graph.optimize_pose_graph(
-        prob, n_iters=20, fix_scale=cfg.sensor != SENSOR_MONOCULAR)
+    if mesh is not None:
+        from ..parallel import sharded_pose_graph
+        out = sharded_pose_graph.optimize_pose_graph_sharded(
+            prob, mesh, n_iters=20,
+            fix_scale=cfg.sensor != SENSOR_MONOCULAR)
+    else:
+        out = pose_graph.optimize_pose_graph(
+            prob, n_iters=20, fix_scale=cfg.sensor != SENSOR_MONOCULAR)
 
     # write back: poses from Sim3 (t/s), points re-expressed via ref KF
     T_new = out.to_se3()
