@@ -37,10 +37,20 @@ class FrameData(NamedTuple):
         return jnp.sum(self.valid.astype(jnp.int32))
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def make_frame_monocular(img, cfg: SlamConfig) -> FrameData:
+@functools.partial(jax.jit, static_argnames=("cfg", "init"))
+def make_frame_monocular(img, cfg: SlamConfig, init: bool = False) -> FrameData:
+    """init=True doubles the extraction budget (capped at max_keypoints so
+    array shapes are unchanged) — the reference's dedicated initialization
+    extractor `mpIniORBextractor = ORBextractor(2*nFeatures, ...)`
+    (`src/Tracking.cc:188-190`); without it the 100-match monocular-init
+    gate is unreachable at low feature budgets (level-0-only matching)."""
     cam = cfg.camera()
     img = img.astype(jnp.float32)   # accept uint8 uploads (4x less transfer)
+    if init:
+        import dataclasses
+        cfg = dataclasses.replace(
+            cfg, n_features=min(2 * cfg.n_features, cfg.max_keypoints),
+            max_keypoints=cfg.max_keypoints)
     kps = extractor.extract(img, cfg)
     xy_und = camera_mod.undistort_pixels(cam, kps.xy) if cfg.k1 or cfg.k2 else kps.xy
     n = kps.xy.shape[0]

@@ -84,8 +84,11 @@ class SlamSystem:
     # ------------------------------------------------------------------
 
     def track_monocular(self, img, timestamp: float):
-        # dtype preserved: uint8 input uploads 4x less and converts on device
-        f = frame_mod.make_frame_monocular(jnp.asarray(img), self.cfg)
+        # dtype preserved: uint8 input uploads 4x less and converts on device;
+        # before initialization the extraction budget doubles (reference's
+        # mpIniORBextractor, src/Tracking.cc:188-190,398)
+        f = frame_mod.make_frame_monocular(
+            jnp.asarray(img), self.cfg, init=self.state == NOT_INITIALIZED)
         return self._track(f, timestamp)
 
     def track_stereo(self, img_left, img_right, timestamp: float):
