@@ -77,6 +77,7 @@ class SlamSystem:
         self.init_frame: Optional[FrameData] = None
         self.trajectory: List[TrajectoryEntry] = []
         self.n_inliers = 0
+        self._kfs_since_gba = 0
         self.metrics: List[dict] = []
 
     # ------------------------------------------------------------------
@@ -344,6 +345,7 @@ class SlamSystem:
             matched_pt = self.m.kf_obs[kf_id]
             self._local_mapping_pass(int(kf_id))
             self._on_keyframe_inserted(int(kf_id), f)
+            self._maybe_periodic_gba()
             self._set_last(f, Tcw, matched_pt)
             T_ref = np.asarray(self.m.kf_pose[self.ref_kf])
             T_rel = Tcw @ np.linalg.inv(T_ref)
@@ -390,6 +392,20 @@ class SlamSystem:
         if not hasattr(self, "_n_kf_host"):
             self._n_kf_host = int(self.m.n_keyframes)
         return self._n_kf_host
+
+    def _maybe_periodic_gba(self):
+        """Opt-in periodic global BA (cfg.gba_every_n_kf > 0): bounds mono
+        scale drift on loop-free sequences. The reference runs GBA only on
+        loop closure (src/LoopClosing.cc:873-1017); same solver, different
+        trigger. A loop closure resets the counter (it just ran GBA)."""
+        if self.cfg.gba_every_n_kf <= 0:
+            return
+        self._kfs_since_gba += 1
+        if self._kfs_since_gba < self.cfg.gba_every_n_kf:
+            return
+        self._kfs_since_gba = 0
+        self.m = loop_closing.run_global_ba(self.cfg, self.m,
+                                            mesh=self.gba_mesh)
 
     # ------------------------------------------------------------------
     # Mode switches / reset / accessors (System facade parity:
@@ -487,6 +503,7 @@ class SlamSystem:
             self.cfg, self.m, kf_id, cand, Scm, mesh=self.gba_mesh)
         self.loop_state.last_loop_kf_seq = kf_seq
         self.n_loops_closed += 1
+        self._kfs_since_gba = 0      # loop correction just ran a GBA
 
     def _relocalize(self, f: FrameData):
         """Tracking::Relocalization (src/Tracking.cc:2039-2262): BoW

@@ -109,6 +109,11 @@ class SlamConfig:
     local_ba_iters: int = 10
     global_ba_iters: int = 10
 
+    # Periodic global BA every N keyframes (0 = off). The reference only
+    # runs GBA on loop closure; this opt-in extension bounds monocular
+    # scale drift on long loop-free sequences.
+    gba_every_n_kf: int = 0
+
     # Loop closing / place recognition
     covis_consistency_th: int = 3            # src/LoopClosing.cc:91
     loop_kf_gap: int = 10                    # KFs since last loop gate (src/LoopClosing.cc:152)
