@@ -65,7 +65,11 @@ def remap_bilinear(img, map_x, map_y, fill: float = 0.0):
     """
     img = np.asarray(img, np.float32)
     H, W = img.shape
-    inside = (map_x >= 0) & (map_x <= W - 1) & (map_y >= 0) & (map_y <= H - 1)
+    eps = 1e-3   # fp slack: an identity map lands at -1e-7 on the border
+    inside = (map_x >= -eps) & (map_x <= W - 1 + eps) & \
+        (map_y >= -eps) & (map_y <= H - 1 + eps)
+    map_x = np.clip(map_x, 0, W - 1)
+    map_y = np.clip(map_y, 0, H - 1)
     x0c = np.clip(np.floor(map_x).astype(np.int64), 0, W - 2)
     y0c = np.clip(np.floor(map_y).astype(np.int64), 0, H - 2)
     fx = map_x - x0c

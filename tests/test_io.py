@@ -120,3 +120,64 @@ class TestTumDataset:
         ts, img, depth = frames[2]
         assert abs(ts - 0.2) < 1e-6
         assert img.shape == (16, 16) and depth.shape == (16, 16)
+
+
+class TestKittiDataset:
+    def test_stereo_and_mono(self, rng, tmp_path):
+        seq = tmp_path / "00"
+        (seq / "image_0").mkdir(parents=True)
+        (seq / "image_1").mkdir(parents=True)
+        for i in range(4):
+            _write_png(str(seq / "image_0" / f"{i:06d}.png"),
+                       rng.integers(0, 255, size=(12, 20), dtype=np.uint8))
+            _write_png(str(seq / "image_1" / f"{i:06d}.png"),
+                       rng.integers(0, 255, size=(12, 20), dtype=np.uint8))
+        (seq / "times.txt").write_text("\n".join(f"{i*0.1:.6f}" for i in range(4)))
+        st = list(datasets.KittiStereo(str(seq)))
+        assert len(st) == 4
+        ts, l, r = st[1]
+        assert abs(ts - 0.1) < 1e-9 and l.shape == (12, 20) and r.shape == (12, 20)
+        mono = list(datasets.KittiMonocular(str(seq)))
+        assert len(mono) == 4 and mono[0][1].shape == (12, 20)
+
+
+class TestEurocDataset:
+    def _make_seq(self, rng, tmp_path, n=4):
+        for cam in ("cam0", "cam1"):
+            d = tmp_path / "mav0" / cam / "data"
+            d.mkdir(parents=True)
+            lines = ["#timestamp [ns],filename"]
+            for i in range(n):
+                ts_ns = 1403630000000000000 + i * 50_000_000
+                fname = f"{ts_ns}.png"
+                _write_png(str(d / fname),
+                           rng.integers(0, 255, size=(10, 14), dtype=np.uint8))
+                lines.append(f"{ts_ns},{fname}")
+            (tmp_path / "mav0" / cam / "data.csv").write_text("\n".join(lines))
+        return str(tmp_path)
+
+    def test_stereo_pairs(self, rng, tmp_path):
+        seq = self._make_seq(rng, tmp_path)
+        ds = list(datasets.EurocStereo(seq))
+        assert len(ds) == 4
+        ts, l, r = ds[0]
+        assert l.shape == (10, 14) and r.shape == (10, 14)
+
+    def test_mono_cam0(self, rng, tmp_path):
+        seq = self._make_seq(rng, tmp_path)
+        ds = list(datasets.EurocMonocular(seq))
+        assert len(ds) == 4
+        assert ds[1][0] - ds[0][0] == pytest.approx(0.05, abs=1e-6)
+
+    def test_stereo_with_rectifier(self, rng, tmp_path):
+        from orb_slam2_tpu.geometry.rectify import (
+            StereoRectifier, init_undistort_rectify_map)
+        seq = self._make_seq(rng, tmp_path)
+        K = np.array([[20.0, 0, 7.0], [0, 20.0, 5.0], [0, 0, 1]])
+        maps = init_undistort_rectify_map(K, np.zeros(5), np.eye(3), K, 14, 10)
+        rect = StereoRectifier(maps, maps)
+        ds = list(datasets.EurocStereo(seq, rectifier=rect))
+        assert len(ds) == 4
+        # identity rectification: images unchanged
+        raw = list(datasets.EurocStereo(seq))
+        np.testing.assert_allclose(ds[0][1], raw[0][1], atol=1e-3)
