@@ -457,6 +457,14 @@ class SlamSystem:
         return (np.asarray(self.last_matched_pt)
                 if self.last_matched_pt is not None else None)
 
+    def get_tracked_keypoints_un(self):
+        """Undistorted keypoints (+validity) of the last frame —
+        System::GetTrackedKeyPointsUn (src/System.cc:634-639)."""
+        if self.last_frame is None:
+            return None
+        return (np.asarray(self.last_frame.xy),
+                np.asarray(self.last_frame.valid))
+
     # ------------------------------------------------------------------
     # Place recognition / loop closing / relocalization
     # ------------------------------------------------------------------
