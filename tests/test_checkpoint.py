@@ -1,0 +1,69 @@
+"""Map checkpoint / resume (utils/checkpoint.py).
+
+The reference's SaveMap/LoadMap is an unimplemented TODO
+(`include/System.h:148-151`); this closes that gap — the pytree map makes
+persistence exact. Round-trip equality + resume-in-localization-mode.
+"""
+import os
+
+import numpy as np
+import pytest
+
+from orb_slam2_tpu.utils.config import SlamConfig, SENSOR_RGBD
+from orb_slam2_tpu.utils.synthetic import PlateWorld, lateral_trajectory
+from orb_slam2_tpu.utils import checkpoint
+from orb_slam2_tpu.pipeline.system import SlamSystem
+
+
+@pytest.mark.slow
+def test_save_load_resume(tmp_path, rng):
+    fx = 300.0
+    cfg = SlamConfig(
+        fx=fx, fy=fx, cx=160.0, cy=120.0, width=320, height=240,
+        n_features=400, bf=fx * 0.25, sensor=SENSOR_RGBD, fps=10.0,
+        th_depth=60.0, max_keyframes=32, max_map_points=1 << 13,
+        ba_local_cams=8, ba_fixed_cams=8, ba_max_points=1 << 10,
+        ba_max_obs=6, max_local_keyframes=16, max_local_points=1 << 11)
+    world = PlateWorld(fx, fx, 160.0, 120.0, 320, 240, z0=4.0)
+    gt = lateral_trajectory(10, step=0.06, yaw_rate=0.004)
+    s = SlamSystem(cfg)
+    for i, T in enumerate(gt):
+        img, depth = world.render_with_depth(T)
+        s.track_rgbd(img, depth, i * 0.1)
+    assert int(s.m.n_points) > 100
+
+    path = os.path.join(tmp_path, "map.npz")
+    checkpoint.save_map(path, s.m, extra=dict(frame_id=s.frame_id))
+    m2, extra = checkpoint.load_map(path)
+    assert int(extra["frame_id"]) == s.frame_id
+    for name in s.m._fields:
+        np.testing.assert_array_equal(np.asarray(getattr(s.m, name)),
+                                      np.asarray(getattr(m2, name)),
+                                      err_msg=name)
+
+    # resume: a fresh system in localization-only mode tracks against the
+    # loaded map after relocalizing... here we seed its tracking state
+    # directly from the map (the reloc path is covered in test_e2e)
+    n_kf_loaded = int(m2.n_keyframes)
+    s2 = SlamSystem(cfg)
+    s2.m = m2
+    s2.activate_localization_mode()
+    from orb_slam2_tpu.pipeline import system as system_mod
+    s2.state = system_mod.OK
+    kf = int(np.nonzero(np.asarray(m2.kf_valid))[0][-1])
+    ts_idx = int(round(float(m2.kf_timestamp[kf]) * 10))
+    img, depth = world.render_with_depth(gt[ts_idx])
+    from orb_slam2_tpu.pipeline import frame as frame_mod
+    import jax.numpy as jnp
+    f = frame_mod.make_frame_rgbd(jnp.asarray(img), jnp.asarray(depth), cfg)
+    s2.ref_kf = kf
+    s2._set_last(f, m2.kf_pose[kf], m2.kf_obs[kf])
+    img2, depth2 = world.render_with_depth(gt[min(ts_idx + 1, len(gt) - 1)])
+    Tcw = s2.track_rgbd(img2, depth2, 99.0)
+    assert Tcw is not None
+    t_err = np.linalg.norm(np.linalg.inv(Tcw)[:3, 3]
+                           - gt[min(ts_idx + 1, len(gt) - 1)][:3, 3])
+    assert t_err < 0.05, t_err
+    # localization mode: no new keyframes were inserted (the fused tracking
+    # step donates the old map buffers, so compare against the pre-track count)
+    assert int(s2.m.n_keyframes) == n_kf_loaded
