@@ -64,7 +64,8 @@ def build_pyramid(img, cfg: SlamConfig):
     return pyr
 
 
-def extract_level(img, budget: int, ini_th: float, min_th: float):
+def extract_level(img, budget: int, ini_th: float, min_th: float,
+                  per_cell: int = 1):
     """One pyramid level -> (ys, xs, resp, valid, angle, desc), all (budget,...)."""
     h, w = img.shape
     min_b = EDGE_THRESHOLD - 3
@@ -75,7 +76,7 @@ def extract_level(img, budget: int, ini_th: float, min_th: float):
     cand, cand_score = fast_ops.compute_candidates(
         score, ini_th, min_th, min_b, max_bx, min_b, max_by)
     ys, xs, resp, valid = select_ops.select_uniform(
-        cand_score, budget, min_b, max_bx, min_b, max_by)
+        cand_score, budget, min_b, max_bx, min_b, max_by, per_cell=per_cell)
 
     # clamp padded slots to a safe interior pixel so gathers stay in bounds
     ys_safe = jnp.where(valid, ys, EDGE_THRESHOLD)
@@ -97,7 +98,8 @@ def extract(img, cfg: SlamConfig) -> Keypoints:
     xy_all, lvl_all, ang_all, resp_all, desc_all, valid_all = [], [], [], [], [], []
     for lvl in range(cfg.n_levels):
         ys, xs, resp, valid, angle, desc = extract_level(
-            pyr[lvl], budgets[lvl], cfg.ini_th_fast, cfg.min_th_fast)
+            pyr[lvl], budgets[lvl], cfg.ini_th_fast, cfg.min_th_fast,
+            per_cell=2 if cfg.select_top2 else 1)
         s = scale_factors[lvl]
         xy = jnp.stack([xs.astype(jnp.float32) * s, ys.astype(jnp.float32) * s], axis=-1)
         xy_all.append(xy)

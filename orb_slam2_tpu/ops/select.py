@@ -22,12 +22,18 @@ MAX_DEPTH = 7  # 4^7 * nIni cells — beyond any per-level budget
 
 def select_uniform(score, budget: int,
                    min_border_x: int, max_border_x: int,
-                   min_border_y: int, max_border_y: int):
+                   min_border_y: int, max_border_y: int,
+                   per_cell: int = 1):
     """score: (H,W) map with -inf at non-candidates.
 
     Returns (ys, xs, resp, valid) each of shape (budget,):
     integer pixel coords of the selected keypoints (level-image frame),
     their scores, and a validity mask.
+
+    per_cell=2 keeps the best AND second-best per cell before the top-k trim
+    (repeatability aid: when equal-contrast cell winners flip with subpixel
+    phase, both contenders stay available to the matcher — the reference's
+    quadtree keeps 1 per leaf, `src/ORBextractor.cc:1030-1037`).
     """
     h, w = score.shape
     width = max_border_x - min_border_x
@@ -55,12 +61,22 @@ def select_uniform(score, budget: int,
         occ = jnp.sum(cell_max > -jnp.inf)
         # winner per cell: the candidate matching its cell max, dedup by
         # smallest linear index
-        is_winner = cand & (flat == cell_max[cid])
         lin = jnp.arange(h * w, dtype=jnp.int32)
-        first = jnp.full((n_cells,), h * w, dtype=jnp.int32).at[cid].min(
-            jnp.where(is_winner, lin, h * w)
-        )
-        winner_mask = is_winner & (lin == first[cid])
+
+        def cell_winner(values):
+            is_w = cand & (values == cell_max_of(values)[cid]) & \
+                (values > -jnp.inf)
+            first = jnp.full((n_cells,), h * w, dtype=jnp.int32).at[cid].min(
+                jnp.where(is_w, lin, h * w))
+            return is_w & (lin == first[cid])
+
+        def cell_max_of(values):
+            return jnp.full((n_cells,), -jnp.inf).at[cid].max(values)
+
+        winner_mask = cell_winner(flat)
+        if per_cell >= 2:
+            flat2 = jnp.where(winner_mask, -jnp.inf, flat)
+            winner_mask = winner_mask | cell_winner(flat2)
         best_per_depth.append(winner_mask)
         occupied.append(occ)
 

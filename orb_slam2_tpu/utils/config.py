@@ -78,6 +78,10 @@ class SlamConfig:
     # Sensor
     sensor: int = SENSOR_MONOCULAR
 
+    # Keep best + second-best keypoint per selection cell (repeatability aid
+    # on scenes with equal-contrast corners; off = reference's 1-per-leaf)
+    select_top2: bool = False
+
     # Use hand-written Pallas TPU kernels for the matching inner loop
     # (ops/pallas_kernels.py). Off by default: CPU tests run the XLA path;
     # enable on real TPU backends.

@@ -143,3 +143,28 @@ class TestExtractor:
         for cy, cx in [(50, 60), (50, 89), (69, 60), (69, 89)]:
             d = np.abs(xy - np.array([cx, cy])).max(axis=1).min()
             assert d <= 2.0, (cy, cx, d)
+
+
+def test_select_top2_improves_density():
+    """cfg.select_top2 keeps best+second per cell: never fewer keypoints,
+    and the extras share cells with the winners."""
+    import dataclasses
+    import jax.numpy as jnp
+    from orb_slam2_tpu.utils.config import SlamConfig
+    from orb_slam2_tpu.ops import extractor
+
+    rng = np.random.default_rng(3)
+    img = rng.uniform(0, 255, size=(240, 320)).astype(np.float32)
+    cfg1 = SlamConfig(n_features=200, width=320, height=240)
+    cfg2 = dataclasses.replace(cfg1, select_top2=True)
+    r1 = extractor.extract(jnp.asarray(img), cfg1)
+    r2 = extractor.extract(jnp.asarray(img), cfg2)
+    n1 = int(np.asarray(r1.valid).sum())
+    n2 = int(np.asarray(r2.valid).sum())
+    assert n2 >= n1
+    # every top-1 selection at full budget is still present... (top-k by
+    # response may swap tail entries; require strong overlap instead)
+    xy1 = np.asarray(r1.xy)[np.asarray(r1.valid)]
+    xy2 = np.asarray(r2.xy)[np.asarray(r2.valid)]
+    d = np.linalg.norm(xy1[:, None] - xy2[None, :], axis=-1)
+    assert (d.min(axis=1) < 0.5).mean() > 0.6
