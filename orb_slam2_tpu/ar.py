@@ -17,7 +17,10 @@ import numpy as np
 
 class Plane(NamedTuple):
     Tpw: np.ndarray        # (4,4) plane-to-world: origin on plane, y-axis = normal
-    normal: np.ndarray     # (3,) unit normal (oriented toward the camera side)
+    normal: np.ndarray     # (3,) unit normal, oriented AWAY from the camera
+                           # ((camera - origin) . normal <= 0, matching the
+                           # reference's flip in Plane::Recompute) — objects
+                           # rise toward the camera along -normal
     origin: np.ndarray     # (3,) inlier centroid
     inliers: np.ndarray    # (N,) bool mask over the input points
 
@@ -138,7 +141,7 @@ def draw_segment(img, p0, p1, value=255.0):
     n = int(max(abs(p1[0] - p0[0]), abs(p1[1] - p0[1]), 1)) + 1
     xs = np.linspace(p0[0], p1[0], n)
     ys = np.linspace(p0[1], p1[1], n)
-    ok = (xs >= 0) & (xs < w - 1) & (ys >= 0) & (ys < h - 1)
+    ok = (xs >= 0) & (xs < w) & (ys >= 0) & (ys < h)
     xi = xs[ok].astype(np.int64)
     yi = ys[ok].astype(np.int64)
     img[yi, xi] = value

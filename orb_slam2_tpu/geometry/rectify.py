@@ -37,6 +37,9 @@ def init_undistort_rectify_map(K, D, R, P, width: int, height: int):
     p1 = D[2] if D.size > 2 else 0.0
     p2 = D[3] if D.size > 3 else 0.0
     k3 = D[4] if D.size > 4 else 0.0
+    k4 = D[5] if D.size > 5 else 0.0    # rational model (N=8)
+    k5 = D[6] if D.size > 6 else 0.0
+    k6 = D[7] if D.size > 7 else 0.0
 
     u, v = np.meshgrid(np.arange(width, dtype=np.float64),
                        np.arange(height, dtype=np.float64))
@@ -47,7 +50,8 @@ def init_undistort_rectify_map(K, D, R, P, width: int, height: int):
     y = Y / W
 
     r2 = x * x + y * y
-    radial = 1.0 + r2 * (k1 + r2 * (k2 + r2 * k3))
+    radial = (1.0 + r2 * (k1 + r2 * (k2 + r2 * k3))) / \
+        (1.0 + r2 * (k4 + r2 * (k5 + r2 * k6)))
     xy = x * y
     xd = x * radial + 2.0 * p1 * xy + p2 * (r2 + 2.0 * x * x)
     yd = y * radial + p1 * (r2 + 2.0 * y * y) + 2.0 * p2 * xy
@@ -123,5 +127,9 @@ class StereoRectifier:
         return "LEFT.K" in data and "RIGHT.K" in data
 
     def __call__(self, left, right):
-        return (remap_bilinear(left, *self.maps_left),
-                remap_bilinear(right, *self.maps_right))
+        # uint8 output: rectified frames keep the 4x-cheaper device upload
+        # (remap of [0,255] inputs stays in range; fill=0)
+        l = remap_bilinear(left, *self.maps_left)
+        r = remap_bilinear(right, *self.maps_right)
+        return (np.clip(l + 0.5, 0, 255).astype(np.uint8),
+                np.clip(r + 0.5, 0, 255).astype(np.uint8))

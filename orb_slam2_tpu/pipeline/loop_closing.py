@@ -328,6 +328,10 @@ def _essential_graph(cfg: SlamConfig, m: mapstate.MapState, pose_before,
             seen.add(key)
             uniq.append(e)
     E = max(16, 1 << int(np.ceil(np.log2(len(uniq) + 1))))
+    if mesh is not None:
+        # shard_map needs the edge axis divisible by the mesh size
+        msize = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+        E = int(np.ceil(E / msize) * msize)
 
     pose_b = np.asarray(pose_before)
     pose_a = np.asarray(m.kf_pose)

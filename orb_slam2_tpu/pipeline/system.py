@@ -345,7 +345,10 @@ class SlamSystem:
             matched_pt = self.m.kf_obs[kf_id]
             self._local_mapping_pass(int(kf_id))
             self._on_keyframe_inserted(int(kf_id), f)
-            self._maybe_periodic_gba()
+            if self._maybe_periodic_gba():
+                # GBA rewrote keyframe poses (incl. this KF's): continue
+                # tracking from the corrected pose, not the stale one
+                Tcw = np.asarray(self.m.kf_pose[int(kf_id)])
             self._set_last(f, Tcw, matched_pt)
             T_ref = np.asarray(self.m.kf_pose[self.ref_kf])
             T_rel = Tcw @ np.linalg.inv(T_ref)
@@ -399,13 +402,14 @@ class SlamSystem:
         loop closure (src/LoopClosing.cc:873-1017); same solver, different
         trigger. A loop closure resets the counter (it just ran GBA)."""
         if self.cfg.gba_every_n_kf <= 0:
-            return
+            return False
         self._kfs_since_gba += 1
         if self._kfs_since_gba < self.cfg.gba_every_n_kf:
-            return
+            return False
         self._kfs_since_gba = 0
         self.m = loop_closing.run_global_ba(self.cfg, self.m,
                                             mesh=self.gba_mesh)
+        return True
 
     # ------------------------------------------------------------------
     # Mode switches / reset / accessors (System facade parity:

@@ -77,8 +77,18 @@ def ransac_sim3(pc1, pc2, level1, level2, valid, level_sigma2,
     sets = packed[draws]
 
     sigma2 = jnp.asarray(level_sigma2, jnp.float32)
-    th1 = 9.21 * sigma2[jnp.clip(level1, 0, sigma2.shape[0] - 1)]
-    th2 = 9.21 * sigma2[jnp.clip(level2, 0, sigma2.shape[0] - 1)]
+    # chi2 99% quantile: 9.21 for the 2-dof (u,v) residual (the reference's
+    # CheckInliers), 11.34 for 3 dof when the disparity channel is active
+    s1 = sigma2[jnp.clip(level1, 0, sigma2.shape[0] - 1)]
+    s2 = sigma2[jnp.clip(level2, 0, sigma2.shape[0] - 1)]
+    if ur1 is not None and bf > 0:
+        th1 = jnp.where(ur1 >= 0, 11.34, 9.21) * s1
+    else:
+        th1 = 9.21 * s1
+    if ur2 is not None and bf > 0:
+        th2 = jnp.where(ur2 >= 0, 11.34, 9.21) * s2
+    else:
+        th2 = 9.21 * s2
 
     def project(p):
         z = jnp.maximum(p[:, 2], 1e-9)

@@ -187,7 +187,7 @@ class PlateWorld(PlaneWorld):
         return img.astype(np.float32), zc.astype(np.float32)
 
 
-def loop_trajectory(n_frames, radius=3.0, overshoot=0.3, z0=None):
+def loop_trajectory(n_frames, radius=3.0, overshoot=0.3):
     """Closed circular survey over the plane: the camera translates around a
     circle of `radius` in the x-y plane (optical axis fixed toward the
     plane), returning to the starting view after one revolution and
