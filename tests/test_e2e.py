@@ -4,7 +4,7 @@ import numpy as np
 import pytest
 
 from orb_slam2_tpu.utils.config import (SlamConfig, SENSOR_MONOCULAR,
-                                        SENSOR_RGBD)
+                                        SENSOR_STEREO, SENSOR_RGBD)
 from orb_slam2_tpu.utils.synthetic import PlaneWorld, lateral_trajectory, ate_rmse
 from orb_slam2_tpu.pipeline.system import SlamSystem
 
@@ -64,6 +64,30 @@ class TestEndToEnd:
         assert s.get_tracking_state() == system_mod.OK
         t_err = np.linalg.norm(np.linalg.inv(Tcw)[:3, 3] - gt[revisit][:3, 3])
         assert t_err < 0.05, t_err
+
+    def test_stereo_tracks_and_low_ate(self):
+        """True-scale stereo pipeline (the reference's stereo_kitti path):
+        L/R rendering with a horizontal baseline, row-banded SAD matching,
+        depth-seeded map points."""
+        # wider baseline than the rgbd default: at z=4 the SAD disparity is
+        # bf/z px, and depth noise grows as z^2/(b*fx) — 0.1 gives only
+        # 7.5 px disparity and ~8 cm ATE from subpixel noise alone
+        cfg = small_cfg(SENSOR_STEREO, bf=300.0 * 0.25)
+        world = PlaneWorld(cfg.fx, cfg.fy, cfg.cx, cfg.cy, 320, 240, z0=4.0)
+        gt = lateral_trajectory(12, step=0.04, yaw_rate=0.004)
+        s = SlamSystem(cfg)
+        b = cfg.baseline
+        for i, T in enumerate(gt):
+            img_l = world.render(T)
+            T_r = T.copy()
+            T_r[:3, 3] = T[:3, 3] + T[:3, :3] @ np.array([b, 0.0, 0.0])
+            img_r = world.render(T_r)
+            s.track_stereo(img_l, img_r, i * 0.1)
+        traj = s.get_trajectory()
+        assert len(traj) == len(gt)
+        est = [T for _, T in traj]
+        rmse = ate_rmse(est, gt[: len(est)])
+        assert rmse < 0.05, rmse
 
     def test_mono_initializes_and_tracks(self):
         cfg = small_cfg(SENSOR_MONOCULAR, n_features=1000)
