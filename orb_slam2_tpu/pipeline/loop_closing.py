@@ -164,23 +164,36 @@ def compute_sim3(cfg: SlamConfig, m: mapstate.MapState, kf_id: int,
 
     # final acceptance gate (`src/LoopClosing.cc:484-540`): project the loop
     # group's map points into the current KF with the corrected Scw and
-    # require >= 40 total matches. This is what rejects geometrically weak
+    # require >= 40 total matches (Sim3 matches + newly-found distinct
+    # points, `:511-528` — vpMatched entries are skipped by the projection
+    # search and counted separately). This is what rejects geometrically weak
     # Sim3 estimates (e.g. matches confined to a thin overlap strip, where
     # the planar two-fold ambiguity leaves Scw meters off) until a later
     # keyframe with stronger overlap closes the loop.
+    sim3_matched = pair_ok & ok1 & ok2[idxc] & inl
+    matched_pt2 = jnp.where(sim3_matched,
+                            m.kf_obs[cand_id][idxc], INVALID)
     Scw = sim3.compose(g_opt, sim3.Sim3.from_se3(m.kf_pose[cand_id]))
-    n_total = _count_loop_projection_matches(cfg, m, kf_id, cand_id, Scw)
+    n_new = _count_loop_projection_matches(
+        cfg, m, kf_id, cand_id, Scw,
+        already_matched=sim3_matched, exclude_pts=matched_pt2)
+    n_total = int(jnp.sum(sim3_matched)) + n_new
     if n_total < 40:
         return False, None, None
     return True, g_opt, int(n_inl)
 
 
 def _count_loop_projection_matches(cfg: SlamConfig, m: mapstate.MapState,
-                                   kf_id: int, cand_id: int, Scw: Sim3):
+                                   kf_id: int, cand_id: int, Scw: Sim3,
+                                   already_matched=None, exclude_pts=None):
     """`SearchByProjection(KeyFrame*, Scw, vpPoints, ...)` match count
     (`src/ORBmatcher.cc:760-914` used at `src/LoopClosing.cc:511-519`):
     gather the candidate's covisibility group's points, project with Scw
-    (window 10*scale(predicted octave), TH_LOW), count hits."""
+    (window 10*scale(predicted octave), TH_LOW), count hits.
+
+    already_matched: (N,) current-KF features already bound by SearchBySim3
+    (skipped, mirroring vpMatched); exclude_pts: point ids already matched
+    (excluded from the projected set)."""
     import math
 
     P = m.capacity_pt
@@ -189,6 +202,16 @@ def _count_loop_projection_matches(cfg: SlamConfig, m: mapstate.MapState,
     loop_pts = jnp.zeros((P,), bool).at[
         jnp.where(group[:, None] & (m.kf_obs >= 0), m.kf_obs, P)
     ].set(True, mode="drop") & m.pt_valid
+    if exclude_pts is not None:
+        loop_pts = loop_pts.at[
+            jnp.where(exclude_pts >= 0, exclude_pts, P)
+        ].set(False, mode="drop")
+    n_loop_pts = int(jnp.sum(loop_pts))
+    if n_loop_pts > P // 4:
+        # gather capacity below truncates the projected set; the >=40 gate
+        # then undercounts — visible so dense-map runs can raise capacity_pt
+        print(f"[loop_closing] projection gather truncated: {n_loop_pts} "
+              f"loop points > capacity {P // 4}")
     ids = jnp.nonzero(loop_pts, size=P // 4, fill_value=-1)[0]
     idc = jnp.clip(ids, 0, P - 1)
     pos = m.pt_pos[idc]
@@ -209,10 +232,12 @@ def _count_loop_projection_matches(cfg: SlamConfig, m: mapstate.MapState,
     pred = jnp.clip(jnp.ceil(jnp.log(jnp.maximum(ratio, 1e-9)) / log_sf
                              ).astype(jnp.int32), 0, cfg.n_levels - 1)
     f_ok = m.kf_feat_valid[kf_id]
+    taken = (jnp.zeros_like(f_ok) if already_matched is None
+             else already_matched)
     mm = matching.search_by_projection_reloc(
         uv, pred, m.pt_desc[idc], ok, jnp.zeros_like(dist),
         m.kf_xy[kf_id], m.kf_level[kf_id], m.kf_desc[kf_id], f_ok,
-        m.kf_angle[kf_id], jnp.zeros_like(f_ok),
+        m.kf_angle[kf_id], taken,
         cfg.scale_factors, th=10.0, orb_dist=cfg.th_low,
         check_rotation=False)
     return int(jnp.sum(mm.valid))

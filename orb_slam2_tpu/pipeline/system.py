@@ -343,12 +343,15 @@ class SlamSystem:
             self.ref_kf = int(kf_id)
             self.last_kf_frame_id = self.frame_id
             matched_pt = self.m.kf_obs[kf_id]
+            loops_before = self.n_loops_closed
             self._local_mapping_pass(int(kf_id))
             self._on_keyframe_inserted(int(kf_id), f)
-            if self._maybe_periodic_gba():
-                # GBA rewrote keyframe poses (incl. this KF's): continue
-                # tracking from the corrected pose, not the stale one
+            if self._maybe_periodic_gba() or self.n_loops_closed != loops_before:
+                # loop correction / GBA rewrote keyframe poses (incl. this
+                # KF's): continue tracking from the corrected pose, and drop
+                # the motion model (it was computed against the stale poses)
                 Tcw = np.asarray(self.m.kf_pose[int(kf_id)])
+                self.velocity = None
             self._set_last(f, Tcw, matched_pt)
             T_ref = np.asarray(self.m.kf_pose[self.ref_kf])
             T_rel = Tcw @ np.linalg.inv(T_ref)
