@@ -446,6 +446,105 @@ def local_ba(cfg: SlamConfig, m: mapstate.MapState, kf_id,
 
 
 # ---------------------------------------------------------------------------
+# Fused per-keyframe mapping pass — ONE device dispatch per keyframe
+# ---------------------------------------------------------------------------
+
+def _fusion_targets(m: mapstate.MapState, kf_id, nn: int, cap: int):
+    """Two-level neighbor set for SearchInNeighbors
+    (`src/LocalMapping.cc:637-661`): the top-nn covisible keyframes plus 5 of
+    each neighbor's best covisible neighbors, deduplicated, excluding kf_id,
+    capped at `cap`. Returns (ids (cap,), valid (cap,))."""
+    K = m.capacity_kf
+    ids1, w1 = mapstate.covisible_keyframes(m, kf_id, nn)
+    lvl1_ok = ids1 >= 0
+    rows = m.covis[jnp.clip(ids1, 0, K - 1)]            # (nn,K)
+    rows = jnp.where(lvl1_ok[:, None], rows, 0) * m.kf_valid[None, :]
+    w2, ids2 = jax.lax.top_k(rows, 5)                   # (nn,5)
+    lvl2_ok = (w2 > 0) & lvl1_ok[:, None]
+    cand = jnp.concatenate([jnp.where(lvl1_ok, ids1, K),
+                            jnp.where(lvl2_ok, ids2, K).reshape(-1)])
+    cand = jnp.where(cand == kf_id, K, cand)            # exclude self
+    # first-occurrence dedup
+    T0 = cand.shape[0]
+    idx = jnp.arange(T0, dtype=jnp.int32)
+    first = jnp.full((K + 1,), T0, jnp.int32).at[cand].min(idx)
+    keep = (cand < K) & (first[cand] == idx)
+    order = jnp.argsort(~keep, stable=True)[:cap]
+    return jnp.where(keep[order], cand[order], INVALID), keep[order]
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(1,))
+def mapping_pass(cfg: SlamConfig, m: mapstate.MapState, kf_id):
+    """The complete local-mapping work for one new keyframe, fused into one
+    jitted call (the reference's LocalMapping thread iteration,
+    `src/LocalMapping.cc:71-159`): map-point culling, triangulation against
+    the top covisible neighbors (lax.scan), two-way fusion with the two-level
+    neighbor set, point-stat refresh, local BA, and keyframe culling. The
+    host previously sequenced ~45 separate dispatches per keyframe — each a
+    tunnel round trip — for the same math.
+
+    Returns (m, culled_mask (K,))."""
+    m = cull_map_points(cfg, m)
+
+    nn = 20 if cfg.sensor == SENSOR_MONOCULAR else 10
+    ids, _ = mapstate.covisible_keyframes(m, kf_id, nn)
+
+    def tri_body(m, nb):
+        def run(m):
+            m2, _ = triangulate_with_neighbor(cfg, m, kf_id,
+                                              jnp.maximum(nb, 0))
+            return m2
+        m = jax.lax.cond(nb >= 0, run, lambda m: m, m)
+        return m, ()
+
+    m, _ = jax.lax.scan(tri_body, m, ids)
+
+    # fuse with the two-level neighbor set, both directions
+    # (SearchInNeighbors: current points -> each target KF, then the union
+    # of all target KFs' points -> current KF)
+    tgt_ids, tgt_ok = _fusion_targets(m, kf_id, nn, cap=3 * nn)
+    cur_pts = m.kf_obs[kf_id]
+
+    def fuse_body(m, nb):
+        def run(m):
+            return fuse_into_keyframe(cfg, m, jnp.maximum(nb, 0), cur_pts,
+                                      cur_pts >= 0)
+        m = jax.lax.cond(nb >= 0, run, lambda m: m, m)
+        return m, ()
+
+    m, _ = jax.lax.scan(fuse_body, m, tgt_ids)
+
+    # union of target KFs' points (vpFuseCandidates) -> fuse into current
+    P = m.capacity_pt
+    rows = m.kf_obs[jnp.clip(tgt_ids, 0, m.capacity_kf - 1)]
+    rows = jnp.where((tgt_ids >= 0)[:, None], rows, INVALID).reshape(-1)
+    present = jnp.zeros((P,), bool).at[
+        jnp.where(rows >= 0, rows, P)].set(True, mode="drop")
+    order = jnp.argsort(~present, stable=True)
+    fuse_pts = order[:cfg.max_local_points]
+    m = fuse_into_keyframe(cfg, m, kf_id, fuse_pts, present[fuse_pts])
+
+    # refresh point stats after fusion
+    bound = m.kf_obs[kf_id]
+    pmask = jnp.zeros((P,), bool).at[
+        jnp.where(bound >= 0, bound, P)].set(True, mode="drop")
+    m = mapstate.update_point_descriptors(m, pmask)
+    m = mapstate.update_point_normals(m, pmask, cfg.scale_factors)
+    m = mapstate.update_connections(m, kf_id)
+
+    def ba_and_cull(m):
+        m = local_ba(cfg, m, kf_id,
+                     n_local=cfg.ba_local_cams, n_fixed=cfg.ba_fixed_cams,
+                     max_pts=cfg.ba_max_points, max_obs=cfg.ba_max_obs)
+        return cull_keyframes(cfg, m, kf_id)
+
+    m, culled = jax.lax.cond(
+        m.n_keyframes > 2, ba_and_cull,
+        lambda m: (m, jnp.zeros((m.capacity_kf,), bool)), m)
+    return m, culled
+
+
+# ---------------------------------------------------------------------------
 # Keyframe culling (LocalMapping::KeyFrameCulling, src/LocalMapping.cc:868-963)
 # ---------------------------------------------------------------------------
 

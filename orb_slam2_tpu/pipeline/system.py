@@ -607,47 +607,13 @@ class SlamSystem:
     # ------------------------------------------------------------------
 
     def _local_mapping_pass(self, kf_id: int):
-        cfg = self.cfg
-        self.m = mapping_ops.cull_map_points(cfg, self.m)
-
-        nn = 20 if cfg.sensor == SENSOR_MONOCULAR else 10
-        ids, w = mapstate.covisible_keyframes(self.m, kf_id, nn)
-        ids_np = np.asarray(ids)
-        for nb in ids_np:
-            if nb < 0:
-                break
-            self.m, n_new = mapping_ops.triangulate_with_neighbor(
-                cfg, self.m, kf_id, int(nb))
-
-        # fuse with first-level neighbors, both directions
-        ids2, _ = mapstate.covisible_keyframes(self.m, kf_id, nn)
-        cur_pts = self.m.kf_obs[kf_id]
-        for nb in np.asarray(ids2):
-            if nb < 0:
-                break
-            self.m = mapping_ops.fuse_into_keyframe(
-                cfg, self.m, int(nb), cur_pts, cur_pts >= 0)
-            nb_pts = self.m.kf_obs[int(nb)]
-            self.m = mapping_ops.fuse_into_keyframe(
-                cfg, self.m, kf_id, nb_pts, nb_pts >= 0)
-
-        # refresh point stats after fusion
-        bound = self.m.kf_obs[kf_id]
-        pmask = jnp.zeros((self.m.capacity_pt,), bool).at[
-            jnp.where(bound >= 0, bound, self.m.capacity_pt)
-        ].set(True, mode="drop")
-        self.m = mapstate.update_point_descriptors(self.m, pmask)
-        self.m = mapstate.update_point_normals(self.m, pmask, cfg.scale_factors)
-        self.m = mapstate.update_connections(self.m, kf_id)
-
-        if int(self.m.n_keyframes) > 2:
-            self.m = mapping_ops.local_ba(
-                cfg, self.m, kf_id,
-                n_local=cfg.ba_local_cams, n_fixed=cfg.ba_fixed_cams,
-                max_pts=cfg.ba_max_points, max_obs=cfg.ba_max_obs)
-            self.m, culled = mapping_ops.cull_keyframes(cfg, self.m, kf_id)
-            if self.db is not None:
-                self.db = self.db.erase(culled)
+        """One fused dispatch for the whole per-KF mapping iteration
+        (mapping_ops.mapping_pass); only the culled-KF mask comes back to
+        the host (database erase + trajectory bad-ref bookkeeping)."""
+        self.m, culled = mapping_ops.mapping_pass(self.cfg, self.m,
+                                                  jnp.asarray(kf_id))
+        if self.db is not None and bool(jnp.any(culled)):
+            self.db = self.db.erase(culled)
         self._n_kf_host = int(self.m.n_keyframes)
 
     # ------------------------------------------------------------------
