@@ -230,6 +230,29 @@ def transform(voc: Vocabulary, desc, valid, levels_up: int = 2):
     return word, weight, rec
 
 
+def bow_sparse(word, weight):
+    """Aggregate per-descriptor (word, weight) pairs into a SORTED sparse
+    L1-normalized BoW row: (words (N,) int32 ascending, INT32_MAX padded;
+    weights (N,) float32). Zero-weight words (idf-0 stop words) are dropped,
+    matching DBoW2's BowVector::addWeight TF-IDF behavior. Vocabulary-size
+    independent — this is what lets the database host the ~1M-word ORBvoc."""
+    N = word.shape[0]
+    pad = jnp.iinfo(jnp.int32).max
+    w = jnp.where((word >= 0) & (weight > 0), word, pad)
+    order = jnp.argsort(w)
+    ws = w[order]
+    wt = jnp.where(ws != pad, weight[order], 0.0)
+    is_first = jnp.concatenate([jnp.ones((1,), bool), ws[1:] != ws[:-1]])
+    is_first = is_first & (ws != pad)
+    seg = jnp.cumsum(is_first.astype(jnp.int32)) - 1          # run index
+    agg = jnp.zeros((N,), jnp.float32).at[
+        jnp.where(ws != pad, seg, N)].add(wt, mode="drop")
+    uniq = jnp.full((N,), pad, jnp.int32).at[
+        jnp.where(is_first, seg, N)].set(ws, mode="drop")
+    total = jnp.sum(agg)
+    return uniq, agg / jnp.maximum(total, 1e-12)
+
+
 def bow_vector(word, weight, n_words: int):
     """Aggregate per-descriptor words into a dense L1-normalized BoW vector
     (W,). The dense form makes frame-vs-all-keyframes scoring one min-sum."""

@@ -56,7 +56,8 @@ class SlamSystem:
         # ORBvoc.txt) or trained on the fly from early frames' descriptors
         # (System ctor loads the vocabulary up front, src/System.cc:58-77).
         self.voc = vocabulary
-        self.db = (bow_db.BowDatabase.empty(cfg.max_keyframes, self.voc.n_words)
+        self.db = (bow_db.BowDatabase.empty(cfg.max_keyframes,
+                                            cfg.max_keypoints)
                    if self.voc is not None else None)
         self._voc_train_desc = []
         self.enable_loop_closing = enable_loop_closing
@@ -435,7 +436,8 @@ class SlamSystem:
         self.m = mapstate.empty(cfg.max_keyframes, cfg.max_map_points,
                                 cfg.max_keypoints)
         if self.voc is not None:
-            self.db = bow_db.BowDatabase.empty(cfg.max_keyframes, self.voc.n_words)
+            self.db = bow_db.BowDatabase.empty(cfg.max_keyframes,
+                                               cfg.max_keypoints)
         self.loop_state.reset()
         self.state = NOT_INITIALIZED
         self.velocity = None
@@ -486,7 +488,7 @@ class SlamSystem:
             train = np.concatenate(self._voc_train_desc)
             self.voc = bow_voc.build_vocabulary(train, k=10, depth=3)
             self.db = bow_db.BowDatabase.empty(self.cfg.max_keyframes,
-                                               self.voc.n_words)
+                                               self.cfg.max_keypoints)
             # backfill keyframes inserted before the vocabulary existed
             for k in np.nonzero(np.asarray(self.m.kf_valid))[0]:
                 vec = self._bow_vec(self.m.kf_desc[int(k)],
@@ -495,8 +497,10 @@ class SlamSystem:
             self._voc_train_desc = []
 
     def _bow_vec(self, desc, valid):
+        """Sorted sparse BoW row (words, weights) — vocabulary-size
+        independent, so the database can host the real ~1M-word ORBvoc."""
         word, weight, _ = bow_voc.transform(self.voc, desc, valid)
-        return bow_voc.bow_vector(word, weight, self.voc.n_words)
+        return bow_voc.bow_sparse(word, weight)
 
     def _on_keyframe_inserted(self, kf_id: int, f: FrameData):
         self._ensure_vocabulary(f)
@@ -531,13 +535,12 @@ class SlamSystem:
             return None, None, False
         vec = self._bow_vec(f.desc, f.valid)
         from ..bow import database as db_mod
-        scores, shared = db_mod.query_scores(self.db, vec)
+        cand_mask, acc, scores = db_mod.detect_reloc_candidates(
+            self.db, vec, self.m.covis)
+        cand_mask = np.asarray(cand_mask) & np.asarray(self.m.kf_valid)
         scores = np.asarray(scores)
-        order = np.argsort(-scores)[:5]
-        for cand in order:
-            if scores[cand] <= 0 or not bool(self.m.kf_valid[cand]):
-                continue
-            k = int(cand)
+        order = [int(c) for c in np.argsort(-scores) if cand_mask[c]]
+        for k in order:
             f_ok2 = self.m.kf_feat_valid[k] & (self.m.kf_obs[k] >= 0)
             mm = matching.search_by_node(
                 jnp.where(f.valid, 0, -1), f.desc, f.valid, f.angle,

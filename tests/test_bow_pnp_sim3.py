@@ -54,20 +54,59 @@ class TestVocabulary:
     def test_database_query(self, rng):
         train = rand_desc(rng, 3000)
         voc = vocab_mod.build_vocabulary(train, k=6, depth=3)
-        db = db_mod.BowDatabase.empty(8, voc.n_words)
+        db = db_mod.BowDatabase.empty(8, 150)
         frames = [rand_desc(rng, 150) for _ in range(4)]
-        vecs = []
         for i, d in enumerate(frames):
             word, weight, _ = vocab_mod.transform(voc, jnp.asarray(d), jnp.ones(150, bool))
-            v = vocab_mod.bow_vector(word, weight, voc.n_words)
-            vecs.append(v)
-            db = db.add(i, v)
+            db = db.add(i, vocab_mod.bow_sparse(word, weight))
         # query with a noisy copy of frame 2
         q = perturb_desc(rng, frames[2], 10)
         word, weight, _ = vocab_mod.transform(voc, jnp.asarray(q), jnp.ones(150, bool))
-        qv = vocab_mod.bow_vector(word, weight, voc.n_words)
+        qv = vocab_mod.bow_sparse(word, weight)
         scores, shared = db_mod.query_scores(db, qv)
         assert int(np.argmax(np.asarray(scores)[:4])) == 2
+
+    def test_bow_sparse_aggregates_and_normalizes(self):
+        word = jnp.asarray([5, 3, 5, -1, 9, 3, 3], jnp.int32)
+        weight = jnp.asarray([1.0, 2.0, 1.0, 7.0, 4.0, 1.0, 1.0], jnp.float32)
+        ws, wt = vocab_mod.bow_sparse(word, weight)
+        ws, wt = np.asarray(ws), np.asarray(wt)
+        pad = np.iinfo(np.int32).max
+        assert ws[:3].tolist() == [3, 5, 9] and (ws[3:] == pad).all()
+        np.testing.assert_allclose(wt[:3], np.array([4, 2, 4]) / 10.0, rtol=1e-6)
+        assert abs(wt.sum() - 1.0) < 1e-6
+
+    def test_database_hosts_huge_vocab_word_ids(self, rng):
+        # the sparse DB is vocabulary-size independent: word ids near 1M
+        # (the real ORBvoc scale) cost no extra memory
+        db = db_mod.BowDatabase.empty(4, 8)
+        ids = np.sort(rng.choice(1_000_000, 8, replace=False)).astype(np.int32)
+        w = np.full(8, 1 / 8, np.float32)
+        db = db.add(0, (jnp.asarray(ids), jnp.asarray(w)))
+        scores, shared = db_mod.query_scores(db, (jnp.asarray(ids), jnp.asarray(w)))
+        assert abs(float(scores[0]) - 1.0) < 1e-6 and int(shared[0]) == 8
+
+    def test_detect_reloc_candidates_group_best(self):
+        # 3 KFs: 0 and 1 covisible (one group), 2 isolated with low overlap;
+        # the group is returned through its best-scoring member (kf 1)
+        K = 4
+        db = db_mod.BowDatabase.empty(K, 8)
+        def row(idlist, wt):
+            ws = np.full(8, np.iinfo(np.int32).max, np.int32)
+            wv = np.zeros(8, np.float32)
+            ws[:len(idlist)] = idlist
+            wv[:len(idlist)] = wt / len(idlist)
+            return jnp.asarray(ws), jnp.asarray(wv)
+        db = db.add(0, row([0, 1, 2, 3], 1.0))
+        db = db.add(1, row([0, 1, 2, 3, 4, 5], 1.0))
+        db = db.add(2, row([6, 7], 1.0))
+        covis = np.zeros((K, K), np.int32)
+        covis[0, 1] = covis[1, 0] = 50
+        q = row([0, 1, 2, 3, 4, 5], 1.0)
+        mask, acc, scores = db_mod.detect_reloc_candidates(
+            db, q, jnp.asarray(covis))
+        mask = np.asarray(mask)
+        assert mask[1] and not mask[2] and not mask[3]
 
 
 class TestPnP:

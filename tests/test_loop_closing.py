@@ -120,11 +120,13 @@ class TestDetectCandidates:
         c2 = SlamConfig(**{**c.__dict__, "covis_consistency_th": 2,
                            "loop_kf_gap": 0, "max_keypoints": N})
         db = db_mod.BowDatabase.empty(K, 32)
-        v0 = np.zeros(32, np.float32); v0[:8] = 1 / 8
-        db = db.add(kf0, jnp.asarray(v0))
+        ws = np.full(32, np.iinfo(np.int32).max, np.int32); ws[:8] = np.arange(8)
+        wv = np.zeros(32, np.float32); wv[:8] = 1 / 8
+        v0 = (jnp.asarray(ws), jnp.asarray(wv))
+        db = db.add(kf0, v0)
         state = loop_closing.LoopState()
         # consistency 0 < th=2 on first sight, 1 on second, accepted on third
-        assert loop_closing.detect_loop(c2, m, db, jnp.asarray(v0), kf1, state, 20) is None
-        assert loop_closing.detect_loop(c2, m, db, jnp.asarray(v0), kf1, state, 21) is None
-        got = loop_closing.detect_loop(c2, m, db, jnp.asarray(v0), kf1, state, 22)
+        assert loop_closing.detect_loop(c2, m, db, v0, kf1, state, 20) is None
+        assert loop_closing.detect_loop(c2, m, db, v0, kf1, state, 21) is None
+        got = loop_closing.detect_loop(c2, m, db, v0, kf1, state, 22)
         assert got == kf0
