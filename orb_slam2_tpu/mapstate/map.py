@@ -58,6 +58,9 @@ class MapState(NamedTuple):
     # --- graphs ---
     covis: jnp.ndarray         # (K,K) i32 shared-point counts
     parent: jnp.ndarray        # (K,) i32 spanning-tree parent (-1 root)
+    loop_edges: jnp.ndarray    # (L,2) i32 persisted loop-closure edges
+                               # (`KeyFrame::mspLoopEdges`,
+                               # src/KeyFrame.cc:591-599), -1 padded
     # --- counters ---
     next_kf: jnp.ndarray       # () i32 — high-water mark for kf ids
     next_pt: jnp.ndarray       # () i32
@@ -83,7 +86,8 @@ class MapState(NamedTuple):
         return self.kf_obs.shape[1]
 
 
-def empty(max_keyframes: int, max_points: int, max_keypoints: int) -> MapState:
+def empty(max_keyframes: int, max_points: int, max_keypoints: int,
+          max_loop_edges: int = 32) -> MapState:
     K, P, N = max_keyframes, max_points, max_keypoints
     f = jnp.zeros
     return MapState(
@@ -111,9 +115,34 @@ def empty(max_keyframes: int, max_points: int, max_keypoints: int) -> MapState:
         pt_found=f((P,), jnp.int32),
         covis=f((K, K), jnp.int32),
         parent=jnp.full((K,), INVALID, jnp.int32),
+        loop_edges=jnp.full((max_loop_edges, 2), INVALID, jnp.int32),
         next_kf=jnp.zeros((), jnp.int32),
         next_pt=jnp.zeros((), jnp.int32),
     )
+
+
+def add_loop_edge(m: MapState, kf_i, kf_j) -> MapState:
+    """Persist a loop-closure edge (i, j). The reference stores these per
+    keyframe (`KeyFrame::AddLoopEdge`, src/KeyFrame.cc:591-599) and feeds them
+    into every later essential-graph solve (src/Optimizer.cc:1248-1283); they
+    also make both endpoints uncullable (`KeyFrame::SetBadFlag` early-outs on
+    mbNotErase, src/KeyFrame.cc:603-649)."""
+    free = jnp.argmin(m.loop_edges[:, 0] >= 0)   # first row with -1
+    row = jnp.stack([jnp.asarray(kf_i, jnp.int32), jnp.asarray(kf_j, jnp.int32)])
+    # if the table is full (no free row), drop the write rather than clobber
+    has_free = ~jnp.all(m.loop_edges[:, 0] >= 0)
+    idx = jnp.where(has_free, free, m.loop_edges.shape[0])
+    return m._replace(loop_edges=m.loop_edges.at[idx].set(row, mode="drop"))
+
+
+def loop_protected_keyframes(m: MapState) -> jnp.ndarray:
+    """(K,) bool: keyframes participating in a persisted loop edge."""
+    K = m.capacity_kf
+    le = m.loop_edges
+    prot = jnp.zeros((K,), bool)
+    prot = prot.at[jnp.where(le[:, 0] >= 0, le[:, 0], K)].set(True, mode="drop")
+    prot = prot.at[jnp.where(le[:, 1] >= 0, le[:, 1], K)].set(True, mode="drop")
+    return prot
 
 
 # ---------------------------------------------------------------------------

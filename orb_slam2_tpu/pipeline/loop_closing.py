@@ -45,21 +45,22 @@ class LoopState:
 
 def detect_loop(cfg: SlamConfig, m: mapstate.MapState, db, bow_vec, kf_id: int,
                 state: LoopState, kf_seq: int):
-    """Returns a loop-candidate kf id or None. Mirrors the reference gates:
-    >=10 keyframes since the last loop, min-score vs covisible neighbors,
+    """Returns the list of consistent loop-candidate kf ids (may be empty),
+    best accumulated BoW score first. Mirrors the reference gates: >=10
+    keyframes since the last loop, min-score vs covisible neighbors,
     shared-word + accumulated-score candidates, 3-consecutive-group
     consistency."""
     from ..bow import database as db_mod
 
     if kf_seq - state.last_loop_kf_seq < cfg.loop_kf_gap:
-        return None
+        return []
 
     # minScore: lowest BoW similarity to the covisibility neighbors
     covis_row = np.asarray(m.covis[kf_id])
     neighbors = np.nonzero((covis_row >= cfg.min_covis_weight) &
                            np.asarray(m.kf_valid))[0]
     if len(neighbors) == 0:
-        return None
+        return []
     scores_all, _ = db_mod.query_scores(db, bow_vec)
     scores_all = np.asarray(scores_all)
     min_score = max(float(scores_all[neighbors].min()), 1e-6)
@@ -73,13 +74,17 @@ def detect_loop(cfg: SlamConfig, m: mapstate.MapState, db, bow_vec, kf_id: int,
     cand_ids = np.nonzero(np.asarray(cand_mask))[0]
     if len(cand_ids) == 0:
         state.consistent_groups = []
-        return None
+        return []
 
     # consistency groups: each candidate's group = itself + covis neighbors;
-    # count consecutive detections sharing a member (th = 3)
+    # count consecutive detections sharing a member (th = 3). ALL candidates
+    # passing the consistency gate are returned, best accumulated score first
+    # (the reference iterates mvpEnoughConsistentCandidates through ComputeSim3
+    # until one closes, src/LoopClosing.cc:331-466).
     covis_np = np.asarray(m.covis)
+    acc_np = np.asarray(acc)
     new_groups = []
-    best_candidate = None
+    consistent = []
     for c in cand_ids:
         group = set(np.nonzero(covis_np[c] > 0)[0].tolist()) | {int(c)}
         consistency = 0
@@ -87,10 +92,11 @@ def detect_loop(cfg: SlamConfig, m: mapstate.MapState, db, bow_vec, kf_id: int,
             if group & prev_group:
                 consistency = max(consistency, prev_cons + 1)
         new_groups.append((group, consistency))
-        if consistency >= cfg.covis_consistency_th and best_candidate is None:
-            best_candidate = int(c)
+        if consistency >= cfg.covis_consistency_th:
+            consistent.append(int(c))
     state.consistent_groups = new_groups
-    return best_candidate
+    consistent.sort(key=lambda c: -float(acc_np[c]))
+    return consistent
 
 
 def compute_sim3(cfg: SlamConfig, m: mapstate.MapState, kf_id: int,
@@ -126,7 +132,8 @@ def compute_sim3(cfg: SlamConfig, m: mapstate.MapState, kf_id: int,
         pc1, pc2, m.kf_level[kf_id], m.kf_level[cand_id][idxm],
         valid, cfg.level_sigma2, cfg.fx, cfg.fy, cfg.cx, cfg.cy,
         fix_scale=cfg.sensor != SENSOR_MONOCULAR,
-        ur1=m.kf_ur[kf_id], ur2=m.kf_ur[cand_id][idxm], bf=float(cfg.bf))
+        ur1=m.kf_ur[kf_id], ur2=m.kf_ur[cand_id][idxm], bf=float(cfg.bf),
+        key=jax.random.PRNGKey(kf_id * 977 + cand_id))
     if not bool(res.ok):
         return False, None, None
 
@@ -307,7 +314,10 @@ def correct_loop(cfg: SlamConfig, m: mapstate.MapState, kf_id: int,
         m = mapping_ops.fuse_into_keyframe(
             cfg, m, int(k), loop_pt_ids, loop_pt_ids >= 0)
 
-    # 3. essential-graph optimization over all keyframes
+    # 3. persist the loop edge (KeyFrame::AddLoopEdge, src/KeyFrame.cc:591-599:
+    # it feeds every later essential-graph solve and protects both endpoints
+    # from culling), then essential-graph optimization over all keyframes
+    m = mapstate.add_loop_edge(m, kf_id, cand_id)
     m = _essential_graph(cfg, m, pose_before, kf_id, cand_id, group,
                          mesh=mesh)
 
@@ -317,18 +327,18 @@ def correct_loop(cfg: SlamConfig, m: mapstate.MapState, kf_id: int,
     return m
 
 
-def _essential_graph(cfg: SlamConfig, m: mapstate.MapState, pose_before,
-                     kf_id: int, cand_id: int, group, mesh=None):
-    """Build + solve the Sim3 pose graph (`OptimizeEssentialGraph`,
-    `src/Optimizer.cc:1069-1404`): spanning-tree edges, high-covisibility
-    edges (w >= 100), and the new loop edge; measurements from pre-correction
-    poses except the loop edge. With a mesh, the solve shards the edge axis
-    (parallel/sharded_pose_graph.py)."""
+def build_essential_edges(cfg: SlamConfig, m: mapstate.MapState,
+                          kf_id: int, cand_id: int):
+    """Deduplicated essential-graph edge list (`OptimizeEssentialGraph`,
+    src/Optimizer.cc:1069-1283): spanning tree, high-covisibility (w >= 100),
+    the new loop edge, and every PERSISTED past loop edge
+    (src/Optimizer.cc:1248-1283 iterates each KF's mspLoopEdges) — past edges
+    keep constraining the graph so a second closure on the same map cannot
+    tear the first one open."""
     K = m.capacity_kf
     valid = np.asarray(m.kf_valid)
     covis = np.asarray(m.covis)
     parent = np.asarray(m.parent)
-    group_np = np.asarray(group)
 
     edges = []
     # spanning tree
@@ -343,8 +353,11 @@ def _essential_graph(cfg: SlamConfig, m: mapstate.MapState, pose_before,
         for j in np.nonzero(covis[i] >= th)[0]:
             if j > i and valid[j]:
                 edges.append((int(i), int(j)))
-    # loop edge
+    # loop edges: new + persisted
     edges.append((kf_id, cand_id))
+    for i, j in np.asarray(m.loop_edges):
+        if i >= 0 and j >= 0 and valid[i] and valid[j]:
+            edges.append((int(i), int(j)))
     seen = set()
     uniq = []
     for e in edges:
@@ -352,6 +365,21 @@ def _essential_graph(cfg: SlamConfig, m: mapstate.MapState, pose_before,
         if key not in seen:
             seen.add(key)
             uniq.append(e)
+    return uniq
+
+
+def _essential_graph(cfg: SlamConfig, m: mapstate.MapState, pose_before,
+                     kf_id: int, cand_id: int, group, mesh=None):
+    """Build + solve the Sim3 pose graph (`OptimizeEssentialGraph`,
+    `src/Optimizer.cc:1069-1404`): spanning-tree edges, high-covisibility
+    edges (w >= 100), and the new loop edge; measurements from pre-correction
+    poses except the loop edge. With a mesh, the solve shards the edge axis
+    (parallel/sharded_pose_graph.py)."""
+    K = m.capacity_kf
+    valid = np.asarray(m.kf_valid)
+    group_np = np.asarray(group)
+
+    uniq = build_essential_edges(cfg, m, kf_id, cand_id)
     E = max(16, 1 << int(np.ceil(np.log2(len(uniq) + 1))))
     if mesh is not None:
         # shard_map needs the edge axis divisible by the mesh size

@@ -563,6 +563,9 @@ def cull_keyframes(cfg: SlamConfig, m: mapstate.MapState, kf_id,
 
     first_fid = jnp.min(jnp.where(m.kf_valid, m.kf_frame_id, 1 << 30))
     candidates = (m.covis[kf_id] > 0) & m.kf_valid & (m.kf_frame_id > first_fid)
+    # keyframes holding a persisted loop edge are never erased (the
+    # reference's mbNotErase/mspLoopEdges guard, src/KeyFrame.cc:591-649)
+    candidates &= ~mapstate.loop_protected_keyframes(m)
 
     def redundancy(k):
         row = m.kf_obs[k]                                # (N,)

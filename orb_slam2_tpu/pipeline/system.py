@@ -75,6 +75,7 @@ class SlamSystem:
         self.ref_kf = 0
         self.frame_id = 0
         self.last_kf_frame_id = 0
+        self.last_reloc_frame_id = -(1 << 30)
         self.init_frame: Optional[FrameData] = None
         self.trajectory: List[TrajectoryEntry] = []
         self.n_inliers = 0
@@ -161,7 +162,8 @@ class SlamSystem:
         p2 = f.xy[jnp.clip(mm.idx, 0, f.xy.shape[0] - 1)]
         res = initializer.initialize(
             p1, p2, mm.valid, float(self.cfg.fx), float(self.cfg.fy),
-            float(self.cfg.cx), float(self.cfg.cy))
+            float(self.cfg.cx), float(self.cfg.cy),
+            key=jax.random.PRNGKey(self.frame_id))
         if not bool(res.success):
             return None
 
@@ -286,7 +288,7 @@ class SlamSystem:
         cfg = self.cfg
 
         if self.state == LOST:
-            T_r, m_r, ok = self._relocalize(f)
+            T_r, m_r, reloc_kf, ok = self._relocalize(f)
             if not ok:
                 self._record(timestamp, np.eye(4), self.ref_kf, True)
                 self.metrics.append(dict(frame=self.frame_id, state="LOST",
@@ -301,16 +303,27 @@ class SlamSystem:
                 jnp.clip(m_r, 0, self.m.capacity_pt - 1)]
             self.last_pts_valid = m_r >= 0
             self.state = OK
-            self._record(timestamp, np.eye(4), self.ref_kf, True)
+            self.ref_kf = reloc_kf
+            self.last_reloc_frame_id = self.frame_id
+            # the relocalized frame IS tracked: record its true relative pose
+            # (the reference only marks genuinely lost frames with mbLost,
+            # src/Tracking.cc:714-751)
+            T_ref = np.asarray(self.m.kf_pose[reloc_kf])
+            self._record(timestamp, np.asarray(T_r) @ np.linalg.inv(T_ref),
+                         reloc_kf, False)
             return np.asarray(T_r)
 
         has_vel = self.velocity is not None
         vel = jnp.asarray(self.velocity if has_vel else np.eye(4, dtype=np.float32))
+        recently_reloc = self.frame_id < self.last_reloc_frame_id + int(cfg.fps)
         res = tracking_step.full_tracking_step(
             cfg, self.m, f, self.last_frame, self.last_pts,
             self.last_pts_valid, self.last_matched_pt,
             jnp.asarray(self.last_Tcw), vel, jnp.asarray(has_vel),
-            jnp.asarray(self.ref_kf))
+            jnp.asarray(self.ref_kf),
+            # inlier floor is 50 for one second after a relocalization
+            # (src/Tracking.cc:1471-1477)
+            50 if recently_reloc else 30)
         self.m = res.m
         sc, Tcw, T_rel = jax.device_get((res.scalars, res.Tcw, res.T_rel))
         ok = bool(sc[0])
@@ -318,7 +331,54 @@ class SlamSystem:
         self.ref_kf = int(sc[8])
         self.n_inliers = n_local_inl
 
+        if not ok and self.localization_only and bool(sc[9]) and int(sc[2]) >= 10:
+            # mbVO: map matches collapsed but visual odometry still holds
+            # (temporal points carry the pose) — keep the VO pose and try to
+            # relocalize on the spot (src/Tracking.cc:533-560, 1018-1090)
+            T_r, m_r, reloc_kf, r_ok = self._relocalize(f)
+            if r_ok:
+                self.last_Tcw = np.asarray(T_r)
+                self.velocity = None
+                self.last_matched_pt = m_r
+                self.last_frame = f
+                self.last_pts = self.m.pt_pos[
+                    jnp.clip(m_r, 0, self.m.capacity_pt - 1)]
+                self.last_pts_valid = m_r >= 0
+                self.state = OK
+                self.ref_kf = reloc_kf
+                self.last_reloc_frame_id = self.frame_id
+                T_ref = np.asarray(self.m.kf_pose[reloc_kf])
+                self._record(timestamp,
+                             np.asarray(T_r) @ np.linalg.inv(T_ref),
+                             reloc_kf, False)
+                self.metrics.append(dict(frame=self.frame_id, state="OK",
+                                         inliers=n_local_inl, vo=False,
+                                         relocalized=True))
+                return np.asarray(T_r)
+            # no reloc yet: continue on odometry alone
+            self.state = OK
+            if self.last_Tcw is not None:
+                self.velocity = Tcw @ np.linalg.inv(self.last_Tcw)
+            self.last_frame = f
+            self.last_Tcw = Tcw
+            self.last_matched_pt = res.matched_pt
+            self.last_pts = res.next_pts
+            self.last_pts_valid = res.next_pts_valid
+            self._record(timestamp, T_rel, self.ref_kf, False)
+            self.metrics.append(dict(frame=self.frame_id, state="OK",
+                                     inliers=n_local_inl, vo=True))
+            return Tcw
+
         if not ok:
+            if (not self.localization_only and
+                    int(self._nkf_cache()) <= 5):
+                # lost right after initialization: scrap the thin map and
+                # start over (src/Tracking.cc:726-735)
+                self.reset()
+                self._record(timestamp, np.eye(4), 0, True)
+                self.metrics.append(dict(frame=self.frame_id, state="RESET",
+                                         inliers=n_local_inl))
+                return None
             self.state = LOST
             self._record(timestamp, np.eye(4), self.ref_kf, True)
             self.metrics.append(dict(frame=self.frame_id, state="LOST",
@@ -376,6 +436,12 @@ class SlamSystem:
         cfg = self.cfg
         if int(self._nkf_cache()) >= cfg.max_keyframes - 2:
             return False
+        n_kf_now = self._nkf_cache()
+        if (self.frame_id < self.last_reloc_frame_id + int(cfg.fps)
+                and n_kf_now > int(cfg.fps)):
+            # no new keyframes for one second after a relocalization
+            # (src/Tracking.cc:1513-1515)
+            return False
         n_inliers = int(sc[3])
         ref_matches = int(sc[4])
         close_tracked = int(sc[5])
@@ -431,7 +497,9 @@ class SlamSystem:
 
     def reset(self):
         """System::Reset (src/Tracking.cc:2265-2313): clear map, database,
-        trajectory bookkeeping and return to the uninitialized state."""
+        trajectory bookkeeping and return to the uninitialized state (the
+        reference also clears mlRelativeFramePoses/mlpReferences — old
+        entries reference destroyed keyframes)."""
         cfg = self.cfg
         self.m = mapstate.empty(cfg.max_keyframes, cfg.max_map_points,
                                 cfg.max_keypoints)
@@ -445,6 +513,9 @@ class SlamSystem:
         self.last_frame = None
         self.ref_kf = 0
         self.last_kf_frame_id = self.frame_id
+        self.last_reloc_frame_id = -(1 << 30)
+        self.trajectory = []
+        self._kfs_since_gba = 0
 
     def get_tracking_state(self):
         return self.state
@@ -511,18 +582,23 @@ class SlamSystem:
         if not self.enable_loop_closing:
             return
         kf_seq = int(self.m.next_kf)
-        cand = loop_closing.detect_loop(
+        cands = loop_closing.detect_loop(
             self.cfg, self.m, self.db, vec, kf_id, self.loop_state, kf_seq)
-        if cand is None:
+        # try every consistent candidate until one passes ComputeSim3 (the
+        # reference iterates mvpEnoughConsistentCandidates,
+        # src/LoopClosing.cc:331-466) — one bad best-scoring candidate must
+        # not kill a closable loop
+        for cand in cands:
+            ok, Scm, n_inl = loop_closing.compute_sim3(
+                self.cfg, self.m, kf_id, cand)
+            if not ok:
+                continue
+            self.m = loop_closing.correct_loop(
+                self.cfg, self.m, kf_id, cand, Scm, mesh=self.gba_mesh)
+            self.loop_state.last_loop_kf_seq = kf_seq
+            self.n_loops_closed += 1
+            self._kfs_since_gba = 0      # loop correction just ran a GBA
             return
-        ok, Scm, n_inl = loop_closing.compute_sim3(self.cfg, self.m, kf_id, cand)
-        if not ok:
-            return
-        self.m = loop_closing.correct_loop(
-            self.cfg, self.m, kf_id, cand, Scm, mesh=self.gba_mesh)
-        self.loop_state.last_loop_kf_seq = kf_seq
-        self.n_loops_closed += 1
-        self._kfs_since_gba = 0      # loop correction just ran a GBA
 
     def _relocalize(self, f: FrameData):
         """Tracking::Relocalization (src/Tracking.cc:2039-2262): BoW
@@ -532,7 +608,7 @@ class SlamSystem:
         (window 10, ORBdist 100) and, if still 30..50, a narrow second round
         (window 3, ORBdist 64), re-optimizing after each (:2172-2241)."""
         if self.voc is None or self.db is None:
-            return None, None, False
+            return None, None, None, False
         vec = self._bow_vec(f.desc, f.valid)
         from ..bow import database as db_mod
         cand_mask, acc, scores = db_mod.detect_reloc_candidates(
@@ -554,7 +630,10 @@ class SlamSystem:
             res = pnp.ransac_pnp(
                 Xw, f.xy, f.level, valid, self.cfg.level_sigma2,
                 float(self.cfg.fx), float(self.cfg.fy), float(self.cfg.cx),
-                float(self.cfg.cy))
+                float(self.cfg.cy),
+                # fresh hypotheses per (frame, candidate): a retry after a
+                # failed attempt must not redraw the identical sample sets
+                key=jax.random.PRNGKey(self.frame_id * 131 + k))
             if not bool(res.ok):
                 continue
             matched_pt = jnp.where(res.inliers, pt, INVALID)
@@ -578,32 +657,8 @@ class SlamSystem:
                         th=3.0, orb_dist=64)
                     n_good = int(n_inl)
             if n_good >= 50:
-                return Tcw, matched_pt, True
-        return None, None, False
-
-    def _need_new_keyframe(self, f: FrameData, matched_pt, n_inliers: int):
-        cfg = self.cfg
-        if int(self.m.n_keyframes) >= cfg.max_keyframes - 2:
-            return False
-        ref_matches, close_tracked, close_untracked = tracking_ops.keyframe_stats(
-            cfg, self.m, self.ref_kf, f, matched_pt)
-        ref_matches = int(ref_matches)
-        frames_since = self.frame_id - self.last_kf_frame_id
-        max_frames = int(cfg.fps)
-        n_kf = int(self.m.n_keyframes)
-
-        th_ratio = 0.75 if cfg.sensor != SENSOR_MONOCULAR else 0.9
-        if n_kf < 2:
-            th_ratio = 0.4
-
-        need_close = (cfg.sensor != SENSOR_MONOCULAR and
-                      (int(close_tracked) < 100 and int(close_untracked) > 70))
-        c1a = frames_since >= max_frames
-        c1b = frames_since >= 0  # mapper is always idle in the staged schedule
-        c1c = cfg.sensor != SENSOR_MONOCULAR and \
-            (n_inliers < ref_matches * 0.25 or need_close)
-        c2 = (n_inliers < ref_matches * th_ratio or need_close) and n_inliers > 15
-        return bool((c1a or c1b or c1c) and c2)
+                return Tcw, matched_pt, k, True
+        return None, None, None, False
 
     # ------------------------------------------------------------------
     # Local mapping pass (synchronous, per keyframe)
@@ -615,9 +670,45 @@ class SlamSystem:
         the host (database erase + trajectory bad-ref bookkeeping)."""
         self.m, culled = mapping_ops.mapping_pass(self.cfg, self.m,
                                                   jnp.asarray(kf_id))
-        if self.db is not None and bool(jnp.any(culled)):
-            self.db = self.db.erase(culled)
+        if bool(jnp.any(culled)):
+            if self.db is not None:
+                self.db = self.db.erase(culled)
+            self._rehome_trajectory(np.asarray(culled))
         self._n_kf_host = int(self.m.n_keyframes)
+
+    def _rehome_trajectory(self, culled: np.ndarray):
+        """When a keyframe is culled its slot may be reused and its stored
+        pose goes stale (excluded from later pose-graph/GBA writes), so every
+        trajectory entry referencing it is re-based NOW onto its nearest
+        surviving spanning-tree ancestor: T_rel <- T_rel * Tcp, ref <- parent.
+        This is the reference's mTcp bad-KF chain (`KeyFrame::SetBadFlag`
+        stores mTcp, `System::SaveTrajectoryTUM` walks it,
+        src/System.cc:431-505 at :476) done eagerly instead of at export."""
+        poses = np.asarray(self.m.kf_pose)
+        valid = np.asarray(self.m.kf_valid)
+        parent = np.asarray(self.m.parent)
+        remap = {}          # culled kf -> (survivor kf, Tcp)
+        for k in np.nonzero(culled)[0]:
+            p = int(parent[k])
+            while p >= 0 and not valid[p]:
+                p = int(parent[p])
+            if p < 0:       # no surviving ancestor: fall back to oldest valid
+                alive = np.nonzero(valid)[0]
+                if len(alive) == 0:
+                    continue
+                fid = np.asarray(self.m.kf_frame_id)
+                p = int(alive[np.argmin(fid[alive])])
+            Tcp = poses[k] @ np.linalg.inv(poses[p])
+            remap[int(k)] = (p, Tcp)
+        if not remap:
+            return
+        for e in self.trajectory:
+            if e.ref_kf in remap:
+                p, Tcp = remap[e.ref_kf]
+                e.T_rel = e.T_rel @ Tcp
+                e.ref_kf = p
+        if self.ref_kf in remap:
+            self.ref_kf = remap[self.ref_kf][0]
 
     # ------------------------------------------------------------------
     # Output

@@ -37,9 +37,12 @@ class TrackStepResult(NamedTuple):
     next_pts: jnp.ndarray      # (N,3) 3D points for the next motion step
     next_pts_valid: jnp.ndarray
     ref_kf: jnp.ndarray        # () best-sharing keyframe
-    scalars: jnp.ndarray       # (9,) int32: [ok, n_mm_matches, n_mm_inliers,
+    scalars: jnp.ndarray       # (10,) int32: [ok, n_mm_matches, n_mm_inliers,
                                #  n_local_inliers, ref_matches, close_tracked,
-                               #  close_untracked, used_fallback, ref_kf]
+                               #  close_untracked, used_fallback, ref_kf,
+                               #  pose_ok (motion/ref track succeeded, before
+                               #  the local-map inlier gate — the host's
+                               #  localization-mode VO fallback reads this)]
 
 
 def _motion_model(cfg, cam, T_pred, last, last_pts, last_pts_valid,
@@ -74,7 +77,9 @@ def _motion_model(cfg, cam, T_pred, last, last_pts, last_pts_valid,
 def full_tracking_step(cfg: SlamConfig, m: mapstate.MapState, cur: FrameData,
                        last: FrameData, last_pts, last_pts_valid,
                        last_matched_pt, T_last, velocity, has_velocity,
-                       ref_kf_in) -> TrackStepResult:
+                       ref_kf_in, min_local_inliers=30) -> TrackStepResult:
+    """min_local_inliers: local-map acceptance floor — 30 normally, 50 within
+    one second of a relocalization (src/Tracking.cc:1471-1477)."""
     cam = cfg.camera()
     N = cur.xy.shape[0]
     T_pred = jnp.where(has_velocity, velocity @ T_last, T_last)
@@ -129,7 +134,7 @@ def full_tracking_step(cfg: SlamConfig, m: mapstate.MapState, cur: FrameData,
     Tcw_2, matched_2, n_local, vis_ids, fnd_ids = tracking_ops.track_local_map(
         cfg, m, Tcw_1, cur, matched_1, local_pt, pt_mask)
     m = tracking_ops.update_counters(m, vis_ids, matched_2, cfg)
-    ok_2 = ok_1 & (n_local >= 30)
+    ok_2 = ok_1 & (n_local >= min_local_inliers)
 
     # --- keyframe statistics ---
     ref_matches, close_tracked, close_untracked = tracking_ops.keyframe_stats(
@@ -153,7 +158,8 @@ def full_tracking_step(cfg: SlamConfig, m: mapstate.MapState, cur: FrameData,
     scalars = jnp.stack([
         ok_2.astype(jnp.int32), n_mm, res_mm.n_inliers, n_local,
         ref_matches, close_tracked, close_untracked,
-        (~mm_ok).astype(jnp.int32), ref_kf.astype(jnp.int32)])
+        (~mm_ok).astype(jnp.int32), ref_kf.astype(jnp.int32),
+        ok_1.astype(jnp.int32)])
     T_rel = Tcw_2 @ se3.inverse(m.kf_pose[jnp.clip(ref_kf, 0, m.capacity_kf - 1)])
     return TrackStepResult(m=m, Tcw=Tcw_2, T_rel=T_rel, matched_pt=matched_2,
                            next_pts=pos, next_pts_valid=next_valid,

@@ -33,4 +33,7 @@ def load_map(path: str):
             fields[k[4:]] = jnp.asarray(data[k])
         elif k.startswith("extra_"):
             extra[k[6:]] = data[k]
+    # forward-compat: checkpoints written before a field existed get defaults
+    if "loop_edges" not in fields:
+        fields["loop_edges"] = jnp.full((32, 2), -1, jnp.int32)
     return MapState(**fields), extra
