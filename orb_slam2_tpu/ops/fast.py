@@ -93,7 +93,9 @@ def compute_candidates(score, ini_th: float, min_th: float,
     region is divided into ~`cell`-px cells; a cell that has any corner at
     ini_th uses only those, otherwise falls back to corners at min_th.
 
-    Returns (candidate_mask, masked_score) as (H,W) arrays.
+    Returns (candidate_mask, masked_score) as (H,W) arrays. The per-cell
+    any-high-corner reduction is a reshape max-pool over pixel-aligned cells
+    (scatter-free — TPU scatters serialize).
     """
     h, w = score.shape
     width = max_border_x - min_border_x
@@ -102,6 +104,7 @@ def compute_candidates(score, ini_th: float, min_th: float,
     n_rows = max(int(height / cell), 1)
     w_cell = int(np.ceil(width / n_cols))
     h_cell = int(np.ceil(height / n_rows))
+    R, C = n_rows * h_cell, n_cols * w_cell
 
     ys = jnp.arange(h)[:, None]
     xs = jnp.arange(w)[None, :]
@@ -113,15 +116,16 @@ def compute_candidates(score, ini_th: float, min_th: float,
     hi = (score > ini_th) & in_region
     lo = (score > min_th) & in_region
 
-    ci = jnp.clip((ys - min_border_y) // h_cell, 0, n_rows - 1)
-    cj = jnp.clip((xs - min_border_x) // w_cell, 0, n_cols - 1)
-    cid = (ci * n_cols + cj).astype(jnp.int32)
-    n_cells = n_rows * n_cols
-
-    cell_has_hi = jnp.zeros((n_cells,), dtype=bool).at[cid.reshape(-1)].max(
-        hi.reshape(-1)
-    )
-    use_lo = ~cell_has_hi[cid]
+    # per-cell "has a high-threshold corner": slice the cell region, pad to
+    # the cell grid, pool, broadcast back
+    hi_reg = jnp.pad(hi[min_border_y:max_border_y, min_border_x:max_border_x],
+                     ((0, R - height), (0, C - width)))
+    cell_has_hi = hi_reg.reshape(n_rows, h_cell, n_cols, w_cell).max(axis=(1, 3))
+    use_lo_reg = ~jnp.repeat(jnp.repeat(cell_has_hi, h_cell, axis=0),
+                             w_cell, axis=1)[:height, :width]
+    use_lo = jnp.pad(use_lo_reg,
+                     ((min_border_y, h - max_border_y),
+                      (min_border_x, w - max_border_x)))
 
     keep = nms3x3(jnp.where(lo, score, 0.0))
     cand = lo & keep & (hi | use_lo)
