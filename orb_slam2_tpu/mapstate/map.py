@@ -353,10 +353,14 @@ def count_observations(m: MapState):
     return cnt
 
 
-def update_point_descriptors(m: MapState, point_mask, max_obs: int = 16):
+def update_point_descriptors(m: MapState, point_mask, max_obs: int = 16,
+                             obs=None):
     """Distinctive descriptor = min-median-Hamming among observations
-    (`MapPoint::ComputeDistinctiveDescriptors`). Batched for points in mask."""
-    obs_kf, obs_ft, obs_ok = point_observations(m, max_obs)
+    (`MapPoint::ComputeDistinctiveDescriptors`). Batched for points in mask.
+    obs: optional precomputed point_observations(m, max_obs) to share the
+    (K*N)-element sort with other consumers."""
+    obs_kf, obs_ft, obs_ok = obs if obs is not None else \
+        point_observations(m, max_obs)
     kfc = jnp.clip(obs_kf, 0, m.capacity_kf - 1)
     ftc = jnp.clip(obs_ft, 0, m.n_feat - 1)
     descs = m.kf_desc[kfc, ftc]                        # (P, O, 8)
@@ -376,12 +380,14 @@ def update_point_descriptors(m: MapState, point_mask, max_obs: int = 16):
     return m._replace(pt_desc=jnp.where(use[:, None], new_desc, m.pt_desc))
 
 
-def update_point_normals(m: MapState, point_mask, scale_factors, max_obs: int = 16):
+def update_point_normals(m: MapState, point_mask, scale_factors,
+                         max_obs: int = 16, obs=None):
     """Mean viewing direction + scale-invariance distance band
     (`MapPoint::UpdateNormalAndDepth`, `src/MapPoint.cc`)."""
     from ..geometry import se3
 
-    obs_kf, obs_ft, obs_ok = point_observations(m, max_obs)
+    obs_kf, obs_ft, obs_ok = obs if obs is not None else \
+        point_observations(m, max_obs)
     kfc = jnp.clip(obs_kf, 0, m.capacity_kf - 1)
     Twc = se3.inverse(m.kf_pose)
     centers = se3.translation(Twc)                     # (K,3) camera centers

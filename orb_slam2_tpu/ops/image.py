@@ -40,41 +40,44 @@ def _reflect101_pad(img, pad_h: int, pad_w: int):
 
 
 def gaussian_blur(img, ksize: int = 9, sigma: float = 2.0):
-    """Separable Gaussian on a (H,W) float image, reflect-101 borders."""
-    k = jnp.asarray(_gaussian_kernel_1d(ksize, sigma))
+    """Separable Gaussian on a (H,W) float image, reflect-101 borders.
+
+    Implemented as shift-and-add (static slices of the padded image times
+    scalar taps): a 1-channel spatial conv is MXU-hostile and measured ~5 ms
+    on VGA via lax.conv; the same math as 18 fused VPU FMAs is ~0.2 ms."""
+    k = _gaussian_kernel_1d(ksize, sigma)
     pad = ksize // 2
+    h, w = img.shape
     x = _reflect101_pad(img, pad, pad)
-    # rows then cols via 1D convs (XLA fuses these efficiently)
-    x = jax.lax.conv_general_dilated(
-        x[None, None, :, :], k[None, None, :, None],
-        window_strides=(1, 1), padding="VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"))
-    x = jax.lax.conv_general_dilated(
-        x, k[None, None, None, :],
-        window_strides=(1, 1), padding="VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"))
-    return x[0, 0]
+    rows = sum(float(k[i]) * jax.lax.slice(x, (i, 0), (i + h, w + 2 * pad))
+               for i in range(ksize))
+    out = sum(float(k[i]) * jax.lax.slice(rows, (0, i), (h, i + w))
+              for i in range(ksize))
+    return out
+
+
+@functools.lru_cache(maxsize=None)
+def _resize_matrix(n_in: int, n_out: int) -> np.ndarray:
+    """(n_out, n_in) bilinear interpolation matrix, OpenCV pixel-center
+    convention: src = (dst+0.5)*scale - 0.5, clamped."""
+    scale = n_in / n_out
+    s = (np.arange(n_out, dtype=np.float64) + 0.5) * scale - 0.5
+    i0 = np.clip(np.floor(s), 0, n_in - 1)
+    w1 = np.clip(s - i0, 0.0, 1.0)
+    i0 = i0.astype(np.int64)
+    i1 = np.minimum(i0 + 1, n_in - 1)
+    M = np.zeros((n_out, n_in), dtype=np.float32)
+    M[np.arange(n_out), i0] += (1.0 - w1).astype(np.float32)
+    M[np.arange(n_out), i1] += w1.astype(np.float32)
+    return M
 
 
 def resize_bilinear(img, out_h: int, out_w: int):
-    """cv::resize INTER_LINEAR on float: src = (dst+0.5)*scale - 0.5, clamped."""
+    """cv::resize INTER_LINEAR on float, as two dense matmuls (out = Ry @ img
+    @ Rx^T): separable bilinear weights are constant per static shape pair,
+    and a pair of MXU matmuls beats gather-based interpolation on TPU."""
     in_h, in_w = img.shape
-    scale_y = in_h / out_h
-    scale_x = in_w / out_w
-    ys = (jnp.arange(out_h, dtype=jnp.float32) + 0.5) * scale_y - 0.5
-    xs = (jnp.arange(out_w, dtype=jnp.float32) + 0.5) * scale_x - 0.5
-    y0 = jnp.clip(jnp.floor(ys), 0, in_h - 1)
-    x0 = jnp.clip(jnp.floor(xs), 0, in_w - 1)
-    wy = jnp.clip(ys - y0, 0.0, 1.0)
-    wx = jnp.clip(xs - x0, 0.0, 1.0)
-    y0i = y0.astype(jnp.int32)
-    x0i = x0.astype(jnp.int32)
-    y1i = jnp.minimum(y0i + 1, in_h - 1)
-    x1i = jnp.minimum(x0i + 1, in_w - 1)
-
-    rows0 = jnp.take(img, y0i, axis=0)
-    rows1 = jnp.take(img, y1i, axis=0)
-    row = rows0 * (1.0 - wy)[:, None] + rows1 * wy[:, None]
-    c0 = jnp.take(row, x0i, axis=1)
-    c1 = jnp.take(row, x1i, axis=1)
-    return c0 * (1.0 - wx)[None, :] + c1 * wx[None, :]
+    Ry = jnp.asarray(_resize_matrix(in_h, out_h))
+    Rx = jnp.asarray(_resize_matrix(in_w, out_w))
+    tmp = jnp.dot(Ry, img, precision=jax.lax.Precision.HIGHEST)
+    return jnp.dot(tmp, Rx.T, precision=jax.lax.Precision.HIGHEST)

@@ -73,8 +73,9 @@ def insert_keyframe(cfg: SlamConfig, m: mapstate.MapState, cur: FrameData,
     bound = m.kf_obs[kf_id]
     mask = jnp.zeros((m.capacity_pt,), bool).at[
         jnp.where(bound >= 0, bound, m.capacity_pt)].set(True, mode="drop")
-    m = mapstate.update_point_descriptors(m, mask)
-    m = mapstate.update_point_normals(m, mask, cfg.scale_factors)
+    obs = mapstate.point_observations(m, 16)
+    m = mapstate.update_point_descriptors(m, mask, obs=obs)
+    m = mapstate.update_point_normals(m, mask, cfg.scale_factors, obs=obs)
     return m, kf_id
 
 
@@ -266,9 +267,23 @@ def triangulate_with_neighbor(cfg: SlamConfig, m: mapstate.MapState,
     m = mapstate.bind_observations(m, kf1, jnp.arange(N), slots, okc)
     m = mapstate.bind_observations(m, kf2, i2, slots, okc)
 
-    pmask = jnp.zeros((m.capacity_pt,), bool).at[
-        jnp.where(okc, slots, m.capacity_pt)].set(True, mode="drop")
-    m = mapstate.update_point_normals(m, pmask, cfg.scale_factors)
+    # normal + scale band for the new points in closed form — both
+    # observations are known right here (kf1 feature i, kf2 feature i2), so
+    # the full point-major observation rebuild (a K*N-element sort) the
+    # generic update_point_normals needs is unnecessary
+    n1 = X - O1
+    n2 = X - O2
+    n1 = n1 / jnp.maximum(jnp.linalg.norm(n1, axis=-1, keepdims=True), 1e-9)
+    n2 = n2 / jnp.maximum(jnp.linalg.norm(n2, axis=-1, keepdims=True), 1e-9)
+    normal = 0.5 * (n1 + n2)
+    sf = jnp.asarray(cfg.scale_factors, jnp.float32)
+    max_dist = dist1 * sf[lvl1]
+    min_dist = max_dist / sf[cfg.n_levels - 1]
+    si = jnp.where(okc, slots, m.capacity_pt)
+    m = m._replace(
+        pt_normal=m.pt_normal.at[si].set(normal, mode="drop"),
+        pt_max_dist=m.pt_max_dist.at[si].set(max_dist, mode="drop"),
+        pt_min_dist=m.pt_min_dist.at[si].set(min_dist, mode="drop"))
     return m, jnp.sum(okc.astype(jnp.int32))
 
 
@@ -277,12 +292,12 @@ def triangulate_with_neighbor(cfg: SlamConfig, m: mapstate.MapState,
 # src/LocalMapping.cc:623-749, src/ORBmatcher.cc:1472-1740)
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def fuse_into_keyframe(cfg: SlamConfig, m: mapstate.MapState, kf_id, pt_ids,
-                       pt_sel):
-    """Project the given map points into keyframe kf_id; for each good match:
-    if the keypoint is bound to another point, keep the better-observed one
-    (Replace); else bind the point. pt_ids: (B,) candidate ids; pt_sel: (B,)."""
+def _fuse_decide(cfg: SlamConfig, m: mapstate.MapState, cnt, kf_id, pt_ids,
+                 pt_sel):
+    """Match/decide half of ORBmatcher::Fuse without map mutation: project
+    pt_ids into keyframe kf_id, match, and classify each hit as a bind (the
+    keypoint is unbound) or a replacement pair. cnt: (P,) observation counts.
+    Returns (feat_idx, bind_mask, src, tgt, both_mask, src_wins)."""
     cam = cfg.camera()
     Tcw = m.kf_pose[kf_id]
     pos = m.pt_pos[jnp.clip(pt_ids, 0, m.capacity_pt - 1)]
@@ -322,24 +337,38 @@ def fuse_into_keyframe(cfg: SlamConfig, m: mapstate.MapState, kf_id, pt_ids,
         cfg.scale_factors, th=3.0, nn_ratio=1.0)
 
     tgt_pt = m.kf_obs[kf_id][jnp.clip(mm.idx, 0, m.n_feat - 1)]
-    cnt = mapstate.count_observations(m)
     src = jnp.clip(pt_ids, 0, m.capacity_pt - 1)
-
     # case A: keypoint already bound -> Replace the less-observed point
     both = mm.valid & (tgt_pt >= 0) & (tgt_pt != src)
     src_wins = cnt[src] > cnt[jnp.clip(tgt_pt, 0, m.capacity_pt - 1)]
-    mapping = jnp.arange(m.capacity_pt, dtype=jnp.int32)
-    # replace target by source where source wins
-    mapping = mapping.at[jnp.where(both & src_wins, tgt_pt, m.capacity_pt)].set(
-        src, mode="drop")
-    # replace source by target where target wins
-    mapping = mapping.at[jnp.where(both & ~src_wins, src, m.capacity_pt)].set(
-        jnp.clip(tgt_pt, 0, m.capacity_pt - 1), mode="drop")
-    m = mapstate.replace_points(m, mapping)
-
     # case B: keypoint unbound -> bind source point
     bind = mm.valid & (tgt_pt < 0)
-    m = mapstate.bind_observations(m, kf_id, mm.idx, src, bind)
+    return mm.idx, bind, src, tgt_pt, both, src_wins
+
+
+def _fuse_mapping_update(mapping, src, tgt, both, src_wins, P):
+    """Fold one decide round's replacement pairs into the (P,) mapping."""
+    mapping = mapping.at[jnp.where(both & src_wins, tgt, P)].set(
+        src, mode="drop")
+    mapping = mapping.at[jnp.where(both & ~src_wins, src, P)].set(
+        jnp.clip(tgt, 0, P - 1), mode="drop")
+    return mapping
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def fuse_into_keyframe(cfg: SlamConfig, m: mapstate.MapState, kf_id, pt_ids,
+                       pt_sel):
+    """Project the given map points into keyframe kf_id; for each good match:
+    if the keypoint is bound to another point, keep the better-observed one
+    (Replace); else bind the point. pt_ids: (B,) candidate ids; pt_sel: (B,)."""
+    P = m.capacity_pt
+    cnt = mapstate.count_observations(m)
+    idx, bind, src, tgt, both, src_wins = _fuse_decide(
+        cfg, m, cnt, kf_id, pt_ids, pt_sel)
+    mapping = _fuse_mapping_update(
+        jnp.arange(P, dtype=jnp.int32), src, tgt, both, src_wins, P)
+    m = mapstate.replace_points(m, mapping)
+    m = mapstate.bind_observations(m, kf_id, idx, src, bind)
     return m
 
 
@@ -501,35 +530,63 @@ def mapping_pass(cfg: SlamConfig, m: mapstate.MapState, kf_id):
 
     # fuse with the two-level neighbor set, both directions
     # (SearchInNeighbors: current points -> each target KF, then the union
-    # of all target KFs' points -> current KF)
+    # of all target KFs' points -> current KF). All match/decide rounds run
+    # against ONE map snapshot, accumulating binds (disjoint keyframe rows)
+    # and a single (P,) replacement mapping that is applied ONCE at the end —
+    # the sequential per-target replace_points materialized a (K,P) dedup
+    # matrix ~30x per keyframe and dominated the mapping-pass device time.
     tgt_ids, tgt_ok = _fusion_targets(m, kf_id, nn, cap=3 * nn)
     cur_pts = m.kf_obs[kf_id]
+    P = m.capacity_pt
+    cnt = mapstate.count_observations(m)
 
-    def fuse_body(m, nb):
-        def run(m):
-            return fuse_into_keyframe(cfg, m, jnp.maximum(nb, 0), cur_pts,
-                                      cur_pts >= 0)
-        m = jax.lax.cond(nb >= 0, run, lambda m: m, m)
-        return m, ()
+    def fuse_body(carry, nb):
+        kf_obs, mapping = carry
 
-    m, _ = jax.lax.scan(fuse_body, m, tgt_ids)
+        def run(args):
+            kf_obs, mapping = args
+            nbs = jnp.maximum(nb, 0)
+            mloc = m._replace(kf_obs=kf_obs)
+            idx, bind, src, tgt, both, src_wins = _fuse_decide(
+                cfg, mloc, cnt, nbs, cur_pts, cur_pts >= 0)
+            mapping = _fuse_mapping_update(mapping, src, tgt, both,
+                                           src_wins, P)
+            row = kf_obs[nbs]
+            row = row.at[jnp.where(bind, idx, m.n_feat)].set(src, mode="drop")
+            return kf_obs.at[nbs].set(row), mapping
+
+        carry = jax.lax.cond(nb >= 0, run, lambda a: a, (kf_obs, mapping))
+        return carry, ()
+
+    mapping0 = jnp.arange(P, dtype=jnp.int32)
+    (kf_obs, mapping), _ = jax.lax.scan(fuse_body, (m.kf_obs, mapping0),
+                                        tgt_ids)
+    m = m._replace(kf_obs=kf_obs)
 
     # union of target KFs' points (vpFuseCandidates) -> fuse into current
-    P = m.capacity_pt
     rows = m.kf_obs[jnp.clip(tgt_ids, 0, m.capacity_kf - 1)]
     rows = jnp.where((tgt_ids >= 0)[:, None], rows, INVALID).reshape(-1)
     present = jnp.zeros((P,), bool).at[
         jnp.where(rows >= 0, rows, P)].set(True, mode="drop")
     order = jnp.argsort(~present, stable=True)
     fuse_pts = order[:cfg.max_local_points]
-    m = fuse_into_keyframe(cfg, m, kf_id, fuse_pts, present[fuse_pts])
+    idx, bind, src, tgt, both, src_wins = _fuse_decide(
+        cfg, m, cnt, kf_id, fuse_pts, present[fuse_pts])
+    mapping = _fuse_mapping_update(mapping, src, tgt, both, src_wins, P)
+    m = mapstate.bind_observations(m, kf_id, idx, src, bind)
 
-    # refresh point stats after fusion
+    # resolve replacement chains (a->b, b->c => a->c), then apply once
+    mapping = mapping[mapping]
+    mapping = mapping[mapping]
+    m = mapstate.replace_points(m, mapping)
+
+    # refresh point stats after fusion (one shared observation rebuild)
     bound = m.kf_obs[kf_id]
     pmask = jnp.zeros((P,), bool).at[
         jnp.where(bound >= 0, bound, P)].set(True, mode="drop")
-    m = mapstate.update_point_descriptors(m, pmask)
-    m = mapstate.update_point_normals(m, pmask, cfg.scale_factors)
+    obs = mapstate.point_observations(m, 16)
+    m = mapstate.update_point_descriptors(m, pmask, obs=obs)
+    m = mapstate.update_point_normals(m, pmask, cfg.scale_factors, obs=obs)
     m = mapstate.update_connections(m, kf_id)
 
     def ba_and_cull(m):
