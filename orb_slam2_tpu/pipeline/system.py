@@ -90,27 +90,40 @@ class SlamSystem:
         # dtype preserved: uint8 input uploads 4x less and converts on device;
         # before initialization the extraction budget doubles (reference's
         # mpIniORBextractor, src/Tracking.cc:188-190,398)
+        if self.state == OK:
+            return self._track(None, timestamp,
+                               images=(jnp.asarray(img),), sensor="mono")
         f = frame_mod.make_frame_monocular(
             jnp.asarray(img), self.cfg, init=self.state == NOT_INITIALIZED)
         return self._track(f, timestamp)
 
     def track_stereo(self, img_left, img_right, timestamp: float):
+        if self.state == OK:
+            return self._track(
+                None, timestamp,
+                images=(jnp.asarray(img_left), jnp.asarray(img_right)),
+                sensor="stereo")
         f = frame_mod.make_frame_stereo(
             jnp.asarray(img_left), jnp.asarray(img_right), self.cfg)
         return self._track(f, timestamp)
 
     def track_rgbd(self, img, depth, timestamp: float):
+        if self.state == OK:
+            return self._track(
+                None, timestamp,
+                images=(jnp.asarray(img), jnp.asarray(depth)), sensor="rgbd")
         f = frame_mod.make_frame_rgbd(
             jnp.asarray(img), jnp.asarray(depth), self.cfg)
         return self._track(f, timestamp)
 
     # ------------------------------------------------------------------
 
-    def _track(self, f: FrameData, timestamp: float):
+    def _track(self, f: Optional[FrameData], timestamp: float, images=None,
+               sensor=None):
         if self.state == NOT_INITIALIZED:
             Tcw = self._initialize(f, timestamp)
         else:
-            Tcw = self._track_frame(f, timestamp)
+            Tcw = self._track_frame(f, timestamp, images=images, sensor=sensor)
         self.frame_id += 1
         return Tcw
 
@@ -284,7 +297,8 @@ class SlamSystem:
         self.last_pts = pos
         self.last_pts_valid = valid
 
-    def _track_frame(self, f: FrameData, timestamp: float):
+    def _track_frame(self, f: Optional[FrameData], timestamp: float,
+                     images=None, sensor=None):
         cfg = self.cfg
 
         if self.state == LOST:
@@ -316,14 +330,24 @@ class SlamSystem:
         has_vel = self.velocity is not None
         vel = jnp.asarray(self.velocity if has_vel else np.eye(4, dtype=np.float32))
         recently_reloc = self.frame_id < self.last_reloc_frame_id + int(cfg.fps)
-        res = tracking_step.full_tracking_step(
-            cfg, self.m, f, self.last_frame, self.last_pts,
-            self.last_pts_valid, self.last_matched_pt,
-            jnp.asarray(self.last_Tcw), vel, jnp.asarray(has_vel),
-            jnp.asarray(self.ref_kf),
-            # inlier floor is 50 for one second after a relocalization
-            # (src/Tracking.cc:1471-1477)
-            50 if recently_reloc else 30)
+        # inlier floor is 50 for one second after a relocalization
+        # (src/Tracking.cc:1471-1477)
+        min_inl = 50 if recently_reloc else 30
+        if images is not None:
+            # steady-state fast path: extraction fused into the step — ONE
+            # device dispatch per tracked frame
+            res = tracking_step.full_tracking_step_from_images(
+                cfg, self.m, images, self.last_frame, self.last_pts,
+                self.last_pts_valid, self.last_matched_pt,
+                jnp.asarray(self.last_Tcw), vel, jnp.asarray(has_vel),
+                jnp.asarray(self.ref_kf), min_inl, sensor)
+            f = res.frame
+        else:
+            res = tracking_step.full_tracking_step(
+                cfg, self.m, f, self.last_frame, self.last_pts,
+                self.last_pts_valid, self.last_matched_pt,
+                jnp.asarray(self.last_Tcw), vel, jnp.asarray(has_vel),
+                jnp.asarray(self.ref_kf), min_inl)
         self.m = res.m
         sc, Tcw, T_rel = jax.device_get((res.scalars, res.Tcw, res.T_rel))
         ok = bool(sc[0])

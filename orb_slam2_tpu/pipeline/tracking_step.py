@@ -31,6 +31,8 @@ INVALID = -1
 
 class TrackStepResult(NamedTuple):
     m: mapstate.MapState
+    frame: FrameData           # the current frame (extracted in-step for the
+                               # fused image->pose wrappers; echoed otherwise)
     Tcw: jnp.ndarray           # (4,4)
     T_rel: jnp.ndarray         # (4,4) Tcw * inv(T_ref_kf) for trajectory log
     matched_pt: jnp.ndarray    # (N,) map point per keypoint
@@ -80,6 +82,38 @@ def full_tracking_step(cfg: SlamConfig, m: mapstate.MapState, cur: FrameData,
                        ref_kf_in, min_local_inliers=30) -> TrackStepResult:
     """min_local_inliers: local-map acceptance floor — 30 normally, 50 within
     one second of a relocalization (src/Tracking.cc:1471-1477)."""
+    return _step(cfg, m, cur, last, last_pts, last_pts_valid, last_matched_pt,
+                 T_last, velocity, has_velocity, ref_kf_in, min_local_inliers)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "sensor"),
+                   donate_argnums=(1,))
+def full_tracking_step_from_images(cfg: SlamConfig, m: mapstate.MapState,
+                                   images, last: FrameData, last_pts,
+                                   last_pts_valid, last_matched_pt, T_last,
+                                   velocity, has_velocity, ref_kf_in,
+                                   min_local_inliers, sensor: str
+                                   ) -> TrackStepResult:
+    """Frame construction + the full tracking step as ONE dispatch — the
+    steady-state per-frame path of the system (the separate make_frame
+    dispatch costs a full host round trip per frame). images: (img,) mono /
+    (img, depth) rgbd / (imgL, imgR) stereo."""
+    from . import frame as frame_mod
+
+    if sensor == "rgbd":
+        cur = frame_mod.make_frame_rgbd(images[0], images[1], cfg)
+    elif sensor == "stereo":
+        cur = frame_mod.make_frame_stereo(images[0], images[1], cfg)
+    else:
+        cur = frame_mod.make_frame_monocular(images[0], cfg)
+    return _step(cfg, m, cur, last, last_pts, last_pts_valid, last_matched_pt,
+                 T_last, velocity, has_velocity, ref_kf_in, min_local_inliers)
+
+
+def _step(cfg: SlamConfig, m: mapstate.MapState, cur: FrameData,
+          last: FrameData, last_pts, last_pts_valid,
+          last_matched_pt, T_last, velocity, has_velocity,
+          ref_kf_in, min_local_inliers) -> TrackStepResult:
     cam = cfg.camera()
     N = cur.xy.shape[0]
     T_pred = jnp.where(has_velocity, velocity @ T_last, T_last)
@@ -161,6 +195,7 @@ def full_tracking_step(cfg: SlamConfig, m: mapstate.MapState, cur: FrameData,
         (~mm_ok).astype(jnp.int32), ref_kf.astype(jnp.int32),
         ok_1.astype(jnp.int32)])
     T_rel = Tcw_2 @ se3.inverse(m.kf_pose[jnp.clip(ref_kf, 0, m.capacity_kf - 1)])
-    return TrackStepResult(m=m, Tcw=Tcw_2, T_rel=T_rel, matched_pt=matched_2,
+    return TrackStepResult(m=m, frame=cur, Tcw=Tcw_2, T_rel=T_rel,
+                           matched_pt=matched_2,
                            next_pts=pos, next_pts_valid=next_valid,
                            ref_kf=ref_kf, scalars=scalars)

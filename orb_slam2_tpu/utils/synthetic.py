@@ -187,6 +187,59 @@ class PlateWorld(PlaneWorld):
         return img.astype(np.float32), zc.astype(np.float32)
 
 
+class ImperfectCamera:
+    """Photometric imperfections over any world: per-frame exposure gain
+    (slow sinusoid, like auto-exposure hunting), additive Gaussian pixel
+    noise, and mild vignetting. Makes the synthetic benchmark behave like a
+    real sensor: matching loses the free ride of identical pixel values, the
+    KF-insertion gate fires at realistic rates, and drift becomes a real
+    quantity (VERDICT r1: the clean worlds under-exercise NeedNewKeyFrame)."""
+
+    def __init__(self, world, noise_sigma=4.0, exposure_amp=0.25,
+                 exposure_period=180.0, vignette=0.25, seed=7):
+        self.world = world
+        self.noise_sigma = noise_sigma
+        self.exposure_amp = exposure_amp
+        self.exposure_period = exposure_period
+        self.rng = np.random.default_rng(seed)
+        h, w = world.h, world.w
+        ys, xs = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+        r2 = (((xs - w / 2) / (w / 2)) ** 2 + ((ys - h / 2) / (h / 2)) ** 2)
+        self.vig = (1.0 - vignette * r2 / 2).astype(np.float32)
+
+    def render_with_depth(self, T_wc, frame_idx: int):
+        img, depth = self.world.render_with_depth(T_wc)
+        gain = 1.0 + self.exposure_amp * np.sin(
+            2 * np.pi * frame_idx / self.exposure_period)
+        img = img * gain * self.vig
+        img = img + self.rng.normal(0.0, self.noise_sigma, img.shape)
+        return np.clip(img, 0, 255).astype(np.float32), depth
+
+
+def survey_trajectory(n_frames, extent=10.0, rows=6, row_overlap_frames=8):
+    """Lawn-mower survey raster over the world: long straight rows with
+    180-degree-free lateral row changes (optical axis stays fixed toward the
+    plane, like an aerial mapping run). Covers a large area -> many keyframes
+    and NO early revisit, so accumulated drift is measurable; adjacent rows
+    overlap so local mapping keeps stitching."""
+    row_len = 2 * extent
+    per_row = max(n_frames // rows, 2)
+    row_gap = 2 * extent / (rows + 1) * 0.35
+    poses = []
+    for i in range(n_frames):
+        r = min(i // per_row, rows - 1)
+        j = i - r * per_row
+        frac = j / max(per_row - 1, 1)
+        x = -extent + frac * row_len
+        if r % 2 == 1:
+            x = -x
+        y = -extent * 0.35 + r * row_gap
+        T = np.eye(4)
+        T[:3, 3] = [x, y, 0.02 * np.sin(i * 0.21)]
+        poses.append(T)
+    return poses
+
+
 def loop_trajectory(n_frames, radius=3.0, overshoot=0.3):
     """Closed circular survey over the plane: the camera translates around a
     circle of `radius` in the x-y plane (optical axis fixed toward the
