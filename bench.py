@@ -57,7 +57,9 @@ def main():
 
     world = PlateWorld(fx, fx, 320.0, 240.0, 640, 480, z0=5.0)
     n_build, n_eval = 60, 30
-    gt = loop_trajectory(n_build + n_eval + 1, radius=3.0)
+    # 150-frame circle density (~0.16 m/frame): real inter-frame motion
+    # without overwhelming the velocity-free first frames
+    gt = loop_trajectory(150, radius=3.0)[:n_build + n_eval + 1]
     frames = [(jax.device_put(jnp.asarray(i), dev),
                jax.device_put(jnp.asarray(d), dev))
               for i, d in (world.render_with_depth(T) for T in gt)]

@@ -16,8 +16,13 @@ def triangulate(P1, P2, x1, x2):
     a2 = x2[..., 0, None] * P2[2] - P2[0]
     a3 = x2[..., 1, None] * P2[2] - P2[1]
     A = jnp.stack([a0, a1, a2, a3], axis=-2)          # (...,4,4)
-    _, _, vt = jnp.linalg.svd(A)
-    X = vt[..., 3, :]
-    w = X[..., 3]
-    w = jnp.where(jnp.abs(w) < 1e-12, 1e-12, w)
-    return X[..., :3] / w[..., None]
+    # inhomogeneous DLT: solve A[:, :3] X = -A[:, 3] by 3x3 normal equations
+    # (batched tiny SVDs are iterative and slow on TPU; scene points are at
+    # finite depth so the w=1 chart is well-conditioned, and every consumer
+    # re-gates by reprojection error anyway)
+    M = A[..., :3]
+    b = -A[..., 3]
+    N = jnp.einsum("...ri,...rj->...ij", M, M)
+    Mb = jnp.einsum("...ri,...r->...i", M, b)
+    N = N + 1e-9 * jnp.eye(3, dtype=A.dtype)
+    return jnp.linalg.solve(N, Mb[..., None])[..., 0]

@@ -55,6 +55,10 @@ class MapState(NamedTuple):
     pt_first_kf: jnp.ndarray   # (P,) i32 creation keyframe (culling window)
     pt_visible: jnp.ndarray    # (P,) i32 mnVisible counter
     pt_found: jnp.ndarray      # (P,) i32 mnFound counter
+    pt_obs_cnt: jnp.ndarray    # (P,) i32 cached weighted observation count
+                               # (refreshed after keyframe insertion and each
+                               # mapping pass; per-frame consumers read the
+                               # snapshot instead of re-scattering K*N entries)
     # --- graphs ---
     covis: jnp.ndarray         # (K,K) i32 shared-point counts
     parent: jnp.ndarray        # (K,) i32 spanning-tree parent (-1 root)
@@ -113,6 +117,7 @@ def empty(max_keyframes: int, max_points: int, max_keypoints: int,
         pt_first_kf=jnp.full((P,), INVALID, jnp.int32),
         pt_visible=f((P,), jnp.int32),
         pt_found=f((P,), jnp.int32),
+        pt_obs_cnt=f((P,), jnp.int32),
         covis=f((K, K), jnp.int32),
         parent=jnp.full((K,), INVALID, jnp.int32),
         loop_edges=jnp.full((max_loop_edges, 2), INVALID, jnp.int32),
@@ -342,6 +347,20 @@ def point_observations(m: MapState, max_obs: int = 16):
     return obs_kf, obs_ft, obs_kf >= 0
 
 
+def compact_mask(mask, size: int):
+    """Indices of the first `size` True entries of mask (ascending order).
+    Returns (idx (size,) int32 — in-range, 0-filled past the end; valid
+    (size,) bool). One cumsum + one scatter: replaces argsort-over-capacity
+    compactions (a P-element bitonic sort per call on TPU)."""
+    n = mask.shape[0]
+    rank = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    idx = jnp.zeros((size,), jnp.int32).at[
+        jnp.where(mask & (rank < size), rank, size)
+    ].set(jnp.arange(n, dtype=jnp.int32), mode="drop")
+    valid = jnp.arange(size) < jnp.sum(mask.astype(jnp.int32))
+    return idx, valid
+
+
 def count_observations(m: MapState):
     """(P,) observation count weighted like nObs: +1 mono, +2 stereo
     (`MapPoint::AddObservation`, `include/MapPoint.h:116-130`)."""
@@ -351,6 +370,12 @@ def count_observations(m: MapState):
         jnp.where(m.kf_obs >= 0, m.kf_obs, P)
     ].add(jnp.where(m.kf_obs >= 0, w, 0), mode="drop")
     return cnt
+
+
+def refresh_obs_count(m: MapState) -> MapState:
+    """Recompute the cached pt_obs_cnt snapshot (call after bulk observation
+    mutations: keyframe insertion, the mapping pass, loop correction)."""
+    return m._replace(pt_obs_cnt=count_observations(m))
 
 
 def update_point_descriptors(m: MapState, point_mask, max_obs: int = 16,

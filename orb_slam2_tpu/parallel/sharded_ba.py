@@ -44,8 +44,19 @@ def _assemble_partial(cam, prob, poses, points, inv_sigma2, edge_mask, robust,
 
     ci = jnp.clip(prob.obs_cam, 0, C - 1)
     edge_on = edge_mask > 0
-    Hcc = jnp.zeros((C, 6, 6)).at[jnp.where(edge_on, ci, C)].add(Hcc_e, mode="drop")
-    bc = jnp.zeros((C, 6)).at[jnp.where(edge_on, ci, C)].add(bc_e, mode="drop")
+    # one-hot MXU contraction when it fits (see schur_ba._assemble_and_solve)
+    use_onehot = Q * O * C <= (1 << 26)
+    if use_onehot:
+        onehot = ((prob.obs_cam[:, :, None] ==
+                   jnp.arange(C, dtype=jnp.int32)[None, None, :]) &
+                  edge_on[:, :, None]).astype(jnp.float32)
+        Hcc = jnp.einsum("qoc,qoij->cij", onehot, Hcc_e)
+        bc = jnp.einsum("qoc,qoi->ci", onehot, bc_e)
+    else:
+        Hcc = jnp.zeros((C, 6, 6)).at[jnp.where(edge_on, ci, C)].add(
+            Hcc_e, mode="drop")
+        bc = jnp.zeros((C, 6)).at[jnp.where(edge_on, ci, C)].add(
+            bc_e, mode="drop")
 
     Hpp = jnp.sum(Hpp_e, axis=1)
     Hpp_d = Hpp + lam * jnp.eye(3) * jnp.maximum(
@@ -55,9 +66,12 @@ def _assemble_partial(cam, prob, poses, points, inv_sigma2, edge_mask, robust,
     Hpp_inv = jnp.linalg.inv(Hpp_d)
     bp = jnp.sum(bp_e, axis=1)
 
-    Wd = jnp.zeros((Q, C, 6, 3)).at[
-        jnp.arange(Q)[:, None], jnp.where(edge_on, ci, C)
-    ].add(W_e, mode="drop")
+    if use_onehot:
+        Wd = jnp.einsum("qoc,qoij->qcij", onehot, W_e)
+    else:
+        Wd = jnp.zeros((Q, C, 6, 3)).at[
+            jnp.arange(Q)[:, None], jnp.where(edge_on, ci, C)
+        ].add(W_e, mode="drop")
     M = jnp.einsum("qcij,qjk->qcik", Wd, Hpp_inv)
     M2 = M.transpose(1, 2, 0, 3).reshape(C * 6, Q * 3)
     W2 = Wd.transpose(1, 2, 0, 3).reshape(C * 6, Q * 3)

@@ -76,6 +76,7 @@ def insert_keyframe(cfg: SlamConfig, m: mapstate.MapState, cur: FrameData,
     obs = mapstate.point_observations(m, 16)
     m = mapstate.update_point_descriptors(m, mask, obs=obs)
     m = mapstate.update_point_normals(m, mask, cfg.scale_factors, obs=obs)
+    m = mapstate.refresh_obs_count(m)
     return m, kf_id
 
 
@@ -403,9 +404,7 @@ def local_ba(cfg: SlamConfig, m: mapstate.MapState, kf_id,
     present = jnp.zeros((m.capacity_pt,), bool).at[
         jnp.where(rows.reshape(-1) >= 0, rows.reshape(-1), m.capacity_pt)
     ].set(True, mode="drop") & m.pt_valid
-    order = jnp.argsort(~present, stable=True)
-    sel_pt = order[:max_pts]
-    sel_ok = present[sel_pt]
+    sel_pt, sel_ok = mapstate.compact_mask(present, max_pts)
 
     # observations of selected points
     obs_kf, obs_ft, obs_on = mapstate.point_observations(m, max_obs=max_obs)
@@ -568,10 +567,9 @@ def mapping_pass(cfg: SlamConfig, m: mapstate.MapState, kf_id):
     rows = jnp.where((tgt_ids >= 0)[:, None], rows, INVALID).reshape(-1)
     present = jnp.zeros((P,), bool).at[
         jnp.where(rows >= 0, rows, P)].set(True, mode="drop")
-    order = jnp.argsort(~present, stable=True)
-    fuse_pts = order[:cfg.max_local_points]
+    fuse_pts, fuse_ok = mapstate.compact_mask(present, cfg.max_local_points)
     idx, bind, src, tgt, both, src_wins = _fuse_decide(
-        cfg, m, cnt, kf_id, fuse_pts, present[fuse_pts])
+        cfg, m, cnt, kf_id, fuse_pts, fuse_ok)
     mapping = _fuse_mapping_update(mapping, src, tgt, both, src_wins, P)
     m = mapstate.bind_observations(m, kf_id, idx, src, bind)
 
@@ -598,6 +596,7 @@ def mapping_pass(cfg: SlamConfig, m: mapstate.MapState, kf_id):
     m, culled = jax.lax.cond(
         m.n_keyframes > 2, ba_and_cull,
         lambda m: (m, jnp.zeros((m.capacity_kf,), bool)), m)
+    m = mapstate.refresh_obs_count(m)
     return m, culled
 
 
@@ -605,12 +604,17 @@ def mapping_pass(cfg: SlamConfig, m: mapstate.MapState, kf_id):
 # Keyframe culling (LocalMapping::KeyFrameCulling, src/LocalMapping.cc:868-963)
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("cfg", "max_obs"))
+@functools.partial(jax.jit, static_argnames=("cfg", "max_obs", "max_cand"))
 def cull_keyframes(cfg: SlamConfig, m: mapstate.MapState, kf_id,
-                   max_obs: int = 12):
+                   max_obs: int = 12, max_cand: int = 32):
     """A covisible keyframe of kf_id is redundant if >=90% of its points are
     seen by >=3 other keyframes at the same or finer scale. The first
-    keyframe is never culled. Returns (map, culled_mask (K,))."""
+    keyframe is never culled. Returns (map, culled_mask (K,)).
+
+    Only the top-`max_cand` covisible keyframes are evaluated (the reference
+    also only checks GetVectorCovisibleKeyFrames of the new KF,
+    src/LocalMapping.cc:875; evaluating all K slots gathered ~25M elements
+    per pass)."""
     K = m.capacity_kf
     obs_kf, obs_ft, obs_on = mapstate.point_observations(m, max_obs=max_obs)
     kfc = jnp.clip(obs_kf, 0, K - 1)
@@ -623,6 +627,10 @@ def cull_keyframes(cfg: SlamConfig, m: mapstate.MapState, kf_id,
     # keyframes holding a persisted loop edge are never erased (the
     # reference's mbNotErase/mspLoopEdges guard, src/KeyFrame.cc:591-649)
     candidates &= ~mapstate.loop_protected_keyframes(m)
+
+    cw, cand_ids = jax.lax.top_k(jnp.where(candidates, m.covis[kf_id], 0),
+                                 min(max_cand, K))
+    cand_ok = cw > 0
 
     def redundancy(k):
         row = m.kf_obs[k]                                # (N,)
@@ -638,8 +646,11 @@ def cull_keyframes(cfg: SlamConfig, m: mapstate.MapState, kf_id,
         nm = jnp.sum(mine.astype(jnp.int32))
         return jnp.sum(redundant.astype(jnp.int32)), nm
 
-    red, tot = jax.vmap(redundancy)(jnp.arange(K))
-    cull = candidates & (red.astype(jnp.float32) > 0.9 * tot.astype(jnp.float32)) & (tot > 0)
+    red_c, tot_c = jax.vmap(redundancy)(jnp.clip(cand_ids, 0, K - 1))
+    cull_c = cand_ok & (red_c.astype(jnp.float32) >
+                        0.9 * tot_c.astype(jnp.float32)) & (tot_c > 0)
+    cull = jnp.zeros((K,), bool).at[
+        jnp.where(cull_c, cand_ids, K)].set(True, mode="drop") & candidates
 
     # erase culled keyframes: clear obs, covis, validity; reparent children
     obs_cleared = jnp.where(cull[:, None], INVALID, m.kf_obs)

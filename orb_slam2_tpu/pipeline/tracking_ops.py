@@ -60,10 +60,8 @@ def select_local_map(m: mapstate.MapState, matched_pt,
     present = jnp.zeros((P,), bool).at[jnp.where(flat >= 0, flat, P)].set(
         True, mode="drop")
     present = present & m.pt_valid
-    # compact to fixed buffer
-    order = jnp.argsort(~present, stable=True)
-    local_pt = order[:max_pts]
-    pt_mask = present[local_pt]
+    # compact to fixed buffer (cumsum+scatter, not an argsort over P)
+    local_pt, pt_mask = mapstate.compact_mask(present, max_pts)
     return local_kf, local_mask, ref_kf, local_pt, pt_mask
 
 
@@ -200,8 +198,10 @@ def keyframe_stats(cfg: SlamConfig, m: mapstate.MapState, ref_kf,
                    cur: FrameData, matched_pt):
     """Statistics for `Tracking::NeedNewKeyFrame` (`src/Tracking.cc:1499-1623`).
     Returns (ref_matches, n_close_tracked, n_close_untracked)."""
-    # ref KF tracked points with >= min_obs observations
-    cnt = mapstate.count_observations(m)
+    # ref KF tracked points with >= min_obs observations — from the cached
+    # snapshot (refreshed per keyframe event; recounting scatters K*N
+    # entries per FRAME for a heuristic that tolerates one-KF staleness)
+    cnt = m.pt_obs_cnt
     min_obs = jnp.where(m.n_keyframes <= 2, 2, 3)
     ref_obs = m.kf_obs[ref_kf]
     ref_matches = jnp.sum(((ref_obs >= 0) &

@@ -86,9 +86,22 @@ def _assemble_and_solve(cam, prob, poses, points, inv_sigma2, edge_mask,
     ci = jnp.clip(prob.obs_cam, 0, C - 1)
     edge_on = edge_mask > 0
 
-    # camera block-diagonal + rhs via scatter-add
-    Hcc = jnp.zeros((C, 6, 6)).at[jnp.where(edge_on, ci, C)].add(Hcc_e, mode="drop")
-    bc = jnp.zeros((C, 6)).at[jnp.where(edge_on, ci, C)].add(bc_e, mode="drop")
+    # Per-camera accumulation. TPU scatters serialize, so for local-BA-sized
+    # problems the (Q,O)->C reductions run as one-hot CONTRACTIONS on the MXU
+    # instead (the one-hot is (Q,O,C) f32 — only viable when that fits);
+    # giant GBA problems keep the scatter path.
+    use_onehot = Q * O * C <= (1 << 26)
+    if use_onehot:
+        onehot = ((prob.obs_cam[:, :, None] ==
+                   jnp.arange(C, dtype=jnp.int32)[None, None, :]) &
+                  edge_on[:, :, None]).astype(jnp.float32)   # (Q,O,C)
+        Hcc = jnp.einsum("qoc,qoij->cij", onehot, Hcc_e)
+        bc = jnp.einsum("qoc,qoi->ci", onehot, bc_e)
+    else:
+        Hcc = jnp.zeros((C, 6, 6)).at[jnp.where(edge_on, ci, C)].add(
+            Hcc_e, mode="drop")
+        bc = jnp.zeros((C, 6)).at[jnp.where(edge_on, ci, C)].add(
+            bc_e, mode="drop")
 
     # landmark blocks, damped, closed-form inverse
     Hpp = jnp.sum(Hpp_e, axis=1)                        # (Q,3,3)
@@ -100,9 +113,12 @@ def _assemble_and_solve(cam, prob, poses, points, inv_sigma2, edge_mask,
     bp = jnp.sum(bp_e, axis=1)                          # (Q,3)
 
     # dense W layout (Q, C, 6, 3) for the big Schur matmul
-    Wd = jnp.zeros((Q, C, 6, 3)).at[
-        jnp.arange(Q)[:, None], jnp.where(edge_on, ci, C)
-    ].add(W_e, mode="drop")
+    if use_onehot:
+        Wd = jnp.einsum("qoc,qoij->qcij", onehot, W_e)
+    else:
+        Wd = jnp.zeros((Q, C, 6, 3)).at[
+            jnp.arange(Q)[:, None], jnp.where(edge_on, ci, C)
+        ].add(W_e, mode="drop")
     # A = W H^-1/2 would need a factor; use M = W Hpp_inv then S_corr = sum_q
     # M W^T as one contraction (Q*3 inner axis) — MXU-shaped.
     M = jnp.einsum("qcij,qjk->qcik", Wd, Hpp_inv)       # (Q,C,6,3)

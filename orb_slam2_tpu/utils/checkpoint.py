@@ -36,4 +36,10 @@ def load_map(path: str):
     # forward-compat: checkpoints written before a field existed get defaults
     if "loop_edges" not in fields:
         fields["loop_edges"] = jnp.full((32, 2), -1, jnp.int32)
-    return MapState(**fields), extra
+    if "pt_obs_cnt" not in fields:
+        fields["pt_obs_cnt"] = jnp.zeros(fields["pt_valid"].shape, jnp.int32)
+    m = MapState(**fields)
+    if "pt_obs_cnt" not in {k[4:] for k in data.files if k.startswith("map_")}:
+        from ..mapstate.map import refresh_obs_count
+        m = refresh_obs_count(m)
+    return m, extra

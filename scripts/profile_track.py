@@ -32,7 +32,9 @@ def main():
           flush=True)
     world = PlateWorld(fx, fx, 320.0, 240.0, 640, 480, z0=5.0)
     n_build = 45
-    gt = loop_trajectory(n_build + 10, radius=3.0)
+    # 150-frame circle density (~0.16 m/frame): aggressive enough to need
+    # real tracking, gentle enough that the no-velocity first frames hold on
+    gt = loop_trajectory(150, radius=3.0)[:n_build + 11]
     frames = [(jax.device_put(jnp.asarray(i), dev), jax.device_put(jnp.asarray(d), dev))
               for i, d in (world.render_with_depth(T) for T in gt)]
 
@@ -178,6 +180,48 @@ def main():
         return culled
     timeit("mapping_pass (fused)", f_mp)
 
+    scan10(sys_, cfg, m, f)
+
 
 if __name__ == "__main__":
     main()
+
+
+def scan10(sys_, cfg, m, f):
+    """True per-step device compute: 10 chained tracking steps, ONE dispatch."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import time
+    from orb_slam2_tpu.pipeline import tracking_step
+
+    Tcw = jnp.asarray(sys_.last_Tcw)
+
+    @jax.jit
+    def run(m, f, last, last_pts, last_valid, last_matched, Tcw, ref_kf):
+        def body(carry, _):
+            m, last, last_pts, last_valid, last_matched, Tcw = carry
+            res = tracking_step._step(
+                cfg, m, f, last, last_pts, last_valid, last_matched,
+                Tcw, jnp.eye(4), jnp.asarray(True), ref_kf, 30)
+            return (res.m, f, res.next_pts, res.next_pts_valid,
+                    res.matched_pt, res.Tcw), res.scalars[3]
+        carry, inl = jax.lax.scan(
+            body, (m, f, last_pts * 0 + last_pts, last_valid, last_matched, Tcw),
+            None, length=10)
+        return inl
+
+    last_pts = sys_.last_pts
+    last_valid = sys_.last_pts_valid
+    last_matched = sys_.last_matched_pt
+    out = run(m, f, sys_.last_frame, last_pts, last_valid, last_matched,
+              Tcw, jnp.asarray(sys_.ref_kf))
+    _ = np.asarray(out)
+    best = 1e9
+    for _i in range(3):
+        t0 = time.time()
+        out = run(m, f, sys_.last_frame, last_pts, last_valid, last_matched,
+                  Tcw, jnp.asarray(sys_.ref_kf))
+        _ = np.asarray(out)
+        best = min(best, (time.time() - t0) / 10)
+    print(f"{'track_step x10 scan':26s} {best*1000:9.2f} ms", flush=True)

@@ -94,7 +94,7 @@ def main():
     args = ap.parse_args()
 
     if not args.tpu:
-        os.environ.setdefault("JAX_PLATFORMS", "cpu")
+        os.environ["JAX_PLATFORMS"] = "cpu"   # override the axon sitecustomize
         os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") +
                                    " --xla_force_host_platform_device_count=8")
         os.environ["PALLAS_AXON_POOL_IPS"] = ""
