@@ -293,8 +293,10 @@ def _propagate_and_fuse(cfg: SlamConfig, m: mapstate.MapState, kf_id, cand_id,
 
 
 def correct_loop(cfg: SlamConfig, m: mapstate.MapState, kf_id: int,
-                 cand_id: int, Scm: Sim3, mesh=None):
-    """Full loop correction. Returns the updated map."""
+                 cand_id: int, Scm: Sim3, mesh=None, run_gba: bool = True):
+    """Full loop correction. Returns the updated map. run_gba=False defers
+    the global BA to the caller (the System amortizes it over later
+    keyframes when cfg.gba_async_chunks > 0 — P5 interruption semantics)."""
     # 1. Sim3 propagation + map point re-expression
     pose_before = m.kf_pose  # snapshot for essential-graph measurements
     m, group = _propagate_and_fuse(cfg, m, kf_id, cand_id, Scm)
@@ -321,9 +323,10 @@ def correct_loop(cfg: SlamConfig, m: mapstate.MapState, kf_id: int,
     m = _essential_graph(cfg, m, pose_before, kf_id, cand_id, group,
                          mesh=mesh)
 
-    # 4. global BA (the reference spawns a thread; we run it synchronously,
-    # optionally sharded over a device mesh)
-    m = run_global_ba(cfg, m, mesh=mesh)
+    # 4. global BA (the reference spawns a thread; synchronous here unless
+    # the caller amortizes it, optionally sharded over a device mesh)
+    if run_gba:
+        m = run_global_ba(cfg, m, mesh=mesh, n_iters=cfg.gba_total_iters)
     return m
 
 

@@ -80,6 +80,7 @@ class SlamSystem:
         self.trajectory: List[TrajectoryEntry] = []
         self.n_inliers = 0
         self._kfs_since_gba = 0
+        self._gba_chunks_left = 0
         self.metrics: List[dict] = []
 
     # ------------------------------------------------------------------
@@ -432,7 +433,18 @@ class SlamSystem:
             loops_before = self.n_loops_closed
             self._local_mapping_pass(int(kf_id))
             self._on_keyframe_inserted(int(kf_id), f)
-            if self._maybe_periodic_gba() or self.n_loops_closed != loops_before:
+            gba_chunk_ran = False
+            if (self.n_loops_closed == loops_before and
+                    self._gba_chunks_left > 0):
+                # one amortized loop-GBA chunk per keyframe (P5; a fresh
+                # loop closure above would have reset the schedule)
+                n = max(1, -(-cfg.gba_total_iters // cfg.gba_async_chunks))
+                self.m = loop_closing.run_global_ba(
+                    cfg, self.m, mesh=self.gba_mesh, n_iters=n)
+                self._gba_chunks_left -= 1
+                gba_chunk_ran = True
+            if (self._maybe_periodic_gba() or gba_chunk_ran or
+                    self.n_loops_closed != loops_before):
                 # loop correction / GBA rewrote keyframe poses (incl. this
                 # KF's): continue tracking from the corrected pose, and drop
                 # the motion model (it was computed against the stale poses)
@@ -562,6 +574,18 @@ class SlamSystem:
         return (np.asarray(self.last_matched_pt)
                 if self.last_matched_pt is not None else None)
 
+    def draw_current_frame(self, img, path="frame.png"):
+        """FrameDrawer::DrawFrame parity: annotated overlay of the last
+        tracked frame's keypoints + status banner (src/FrameDrawer.cc:33-208),
+        written to `path` (headless form of the live viewer panel)."""
+        from .. import viewer
+        if self.last_frame is None:
+            return None
+        matched = (np.asarray(self.last_matched_pt) >= 0
+                   if self.last_matched_pt is not None else None)
+        return viewer.draw_frame(img, self.last_frame, matched_mask=matched,
+                                 path=path, status=self.get_map_stats())
+
     def get_tracked_keypoints_un(self):
         """Undistorted keypoints (+validity) of the last frame —
         System::GetTrackedKeyPointsUn (src/System.cc:634-639)."""
@@ -618,8 +642,15 @@ class SlamSystem:
                 self.cfg, self.m, kf_id, cand)
             if not ok:
                 continue
+            amortize = self.cfg.gba_async_chunks > 0
             self.m = loop_closing.correct_loop(
-                self.cfg, self.m, kf_id, cand, Scm, mesh=self.gba_mesh)
+                self.cfg, self.m, kf_id, cand, Scm, mesh=self.gba_mesh,
+                run_gba=not amortize)
+            if amortize:
+                # P5: spread the GBA over the next N keyframe insertions;
+                # discarding any chunks pending from an older loop is the
+                # reference's mbStopGBA abort (src/LoopClosing.cc:559-572)
+                self._gba_chunks_left = self.cfg.gba_async_chunks
             self.loop_state.last_loop_kf_seq = kf_seq
             self.n_loops_closed += 1
             self._kfs_since_gba = 0      # loop correction just ran a GBA

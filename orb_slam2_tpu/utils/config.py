@@ -118,6 +118,17 @@ class SlamConfig:
     # scale drift on long loop-free sequences.
     gba_every_n_kf: int = 0
 
+    # Loop-closure GBA scheduling (SURVEY P5 / src/LoopClosing.cc:559-572):
+    # 0 = run the full GBA synchronously inside the loop correction (simple,
+    # stalls tracking for the whole solve). N > 0 = amortize: the correction
+    # applies the essential-graph solve immediately, then runs the GBA as N
+    # chunks of iterations, one chunk per subsequent keyframe insertion —
+    # the TPU-native analogue of the reference's background GBA thread, with
+    # the same abort semantics (a new loop closure discards pending chunks,
+    # like mbStopGBA killing the stale run).
+    gba_async_chunks: int = 0
+    gba_total_iters: int = 10                # src/LoopClosing.cc:884 (nIts)
+
     # Loop closing / place recognition
     covis_consistency_th: int = 3            # src/LoopClosing.cc:91
     loop_kf_gap: int = 10                    # KFs since last loop gate (src/LoopClosing.cc:152)

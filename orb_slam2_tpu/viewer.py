@@ -71,9 +71,13 @@ def plot_map(m, trajectory=None, path="map.png", max_points=20000,
     return path
 
 
-def draw_frame(img, frame_data, matched_mask=None, path="frame.png"):
-    """FrameDrawer equivalent: keypoints over the image (green = tracked
-    map-point matches, blue = unmatched detections)."""
+def draw_frame(img, frame_data, matched_mask=None, path="frame.png",
+               status=None):
+    """FrameDrawer equivalent (`FrameDrawer::DrawFrame` +
+    `DrawTextInfo`, src/FrameDrawer.cc:33-208): keypoints over the image
+    (green = tracked map-point matches, blue = unmatched detections), with
+    the reference's status banner (tracking state, KFs, MPs, matches) when
+    `status` (e.g. SlamSystem.get_map_stats()) is given."""
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
@@ -82,13 +86,23 @@ def draw_frame(img, frame_data, matched_mask=None, path="frame.png"):
     ax.imshow(np.asarray(img), cmap="gray", vmin=0, vmax=255)
     xy = np.asarray(frame_data.xy)
     valid = np.asarray(frame_data.valid)
+    n_match = 0
     if matched_mask is not None:
         matched = np.asarray(matched_mask) & valid
+        n_match = int(matched.sum())
         ax.plot(xy[valid & ~matched, 0], xy[valid & ~matched, 1], "b.", ms=2)
         ax.plot(xy[matched, 0], xy[matched, 1], "g.", ms=3)
-        ax.set_title(f"{int(matched.sum())} matches / {int(valid.sum())} keypoints")
+        ax.set_title(f"{n_match} matches / {int(valid.sum())} keypoints")
     else:
         ax.plot(xy[valid, 0], xy[valid, 1], "g.", ms=2)
+    if status is not None:
+        banner = (f"{status.get('state', '?')} | KFs: {status.get('n_keyframes', 0)} "
+                  f"MPs: {status.get('n_map_points', 0)} "
+                  f"Matches: {n_match or status.get('last_inliers', 0)} "
+                  f"Loops: {status.get('n_loops_closed', 0)}")
+        ax.text(0.01, 0.02, banner, transform=ax.transAxes, color="yellow",
+                fontsize=9, family="monospace",
+                bbox=dict(facecolor="black", alpha=0.6, pad=2))
     ax.axis("off")
     fig.tight_layout()
     fig.savefig(path, dpi=110)

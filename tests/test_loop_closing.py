@@ -132,6 +132,26 @@ class TestDetectCandidates:
         assert got == [kf0]
 
 
+class TestDeferredGBA:
+    def test_correction_without_gba_still_merges(self, rng):
+        """cfg.gba_async_chunks amortizes the loop GBA over later keyframes
+        (P5); the correction itself (Sim3 propagation + essential graph) must
+        already merge the drifted poses so tracking can continue while the
+        chunks run."""
+        c, m, kf0, kf1, Xw, drift_t = build_drifted_map(rng)
+        ok, Scm, _ = loop_closing.compute_sim3(c, m, kf1, kf0)
+        assert ok
+        m2 = loop_closing.correct_loop(c, m, kf1, kf0, Scm, run_gba=False)
+        P0 = np.asarray(m2.kf_pose[kf0])
+        P1 = np.asarray(m2.kf_pose[kf1])
+        c0 = -P0[:3, :3].T @ P0[:3, 3]
+        c1 = -P1[:3, :3].T @ P1[:3, 3]
+        assert np.linalg.norm(c0 - c1) < 0.5 * np.linalg.norm(drift_t)
+        # and the deferred full GBA still runs standalone on the result
+        m3 = loop_closing.run_global_ba(c, m2, n_iters=3)
+        assert np.isfinite(np.asarray(m3.kf_pose)).all()
+
+
 class TestLoopEdgePersistence:
     """VERDICT r1 gap 3: loop edges must outlive the closure that made them
     (`KeyFrame::mspLoopEdges`, src/KeyFrame.cc:591-649;
