@@ -381,7 +381,7 @@ def fuse_into_keyframe(cfg: SlamConfig, m: mapstate.MapState, kf_id, pt_ids,
 @functools.partial(jax.jit, static_argnames=("cfg", "n_local", "n_fixed", "max_pts", "max_obs"))
 def local_ba(cfg: SlamConfig, m: mapstate.MapState, kf_id,
              n_local: int = 32, n_fixed: int = 32, max_pts: int = 4096,
-             max_obs: int = 12):
+             max_obs: int = 12, obs=None):
     """Build the local BA problem around kf_id and solve it.
 
     Local cameras = kf_id + covisible keyframes; fixed cameras = other
@@ -406,8 +406,13 @@ def local_ba(cfg: SlamConfig, m: mapstate.MapState, kf_id,
     ].set(True, mode="drop") & m.pt_valid
     sel_pt, sel_ok = mapstate.compact_mask(present, max_pts)
 
-    # observations of selected points
-    obs_kf, obs_ft, obs_on = mapstate.point_observations(m, max_obs=max_obs)
+    # observations of selected points (reuse a precomputed wider table when
+    # given — the per-(kf,feat)-ascending order makes a [:max_obs] slice
+    # identical to recomputing at the narrower width)
+    if obs is None:
+        obs_kf, obs_ft, obs_on = mapstate.point_observations(m, max_obs=max_obs)
+    else:
+        obs_kf, obs_ft, obs_on = (o[:, :max_obs] for o in obs)
     okf = obs_kf[sel_pt]                                 # (Q,O)
     oft = obs_ft[sel_pt]
     oon = obs_on[sel_pt] & sel_ok[:, None]
@@ -590,7 +595,8 @@ def mapping_pass(cfg: SlamConfig, m: mapstate.MapState, kf_id):
     def ba_and_cull(m):
         m = local_ba(cfg, m, kf_id,
                      n_local=cfg.ba_local_cams, n_fixed=cfg.ba_fixed_cams,
-                     max_pts=cfg.ba_max_points, max_obs=cfg.ba_max_obs)
+                     max_pts=cfg.ba_max_points, max_obs=cfg.ba_max_obs,
+                     obs=obs)
         return cull_keyframes(cfg, m, kf_id)
 
     m, culled = jax.lax.cond(

@@ -40,7 +40,8 @@ def _precompute(cam, prob, poses, points, inv_sigma2, edge_mask, robust, lam):
         jnp.diagonal(Hpp, axis1=-2, axis2=-1).max(-1), 1e-6)[:, None, None]
     pt_on = prob.pt_valid & (jnp.sum(edge_on, axis=1) > 0)
     Hpp_d = jnp.where(pt_on[:, None, None], Hpp_d, jnp.eye(3))
-    Hpp_inv = jnp.linalg.inv(Hpp_d)
+    from .schur_ba import _inv3x3 as __inv3
+    Hpp_inv = __inv3(Hpp_d)
 
     Hcc_e = jnp.einsum("qoci,qoc,qocj->qoij", Jp, cw, Jp)
     Hcc = jnp.zeros((C, 6, 6)).at[jnp.where(edge_on, ci, C)].add(

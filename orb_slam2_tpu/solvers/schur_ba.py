@@ -67,6 +67,32 @@ def _edge_terms(cam: Camera, prob: BAProblem, poses, points, inv_sigma2,
     return e, Jp, Jl, comp_w, w, chi2, depth_ok
 
 
+def _inv3x3(A):
+    """Closed-form batched 3x3 inverse (adjugate/determinant) — pure VPU
+    elementwise work; jnp.linalg.inv lowers to batched LU, which runs on the
+    TPU's scalar unit and dominates small-problem BA iterations."""
+    a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    d, e, f = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
+    g, h, i = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
+    A11 = e * i - f * h
+    A12 = c * h - b * i
+    A13 = b * f - c * e
+    A21 = f * g - d * i
+    A22 = a * i - c * g
+    A23 = c * d - a * f
+    A31 = d * h - e * g
+    A32 = b * g - a * h
+    A33 = a * e - b * d
+    det = a * A11 + b * A21 + c * A31
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-20, 1e-20, det)
+    adj = jnp.stack([
+        jnp.stack([A11, A12, A13], axis=-1),
+        jnp.stack([A21, A22, A23], axis=-1),
+        jnp.stack([A31, A32, A33], axis=-1),
+    ], axis=-2)
+    return adj * inv_det[..., None, None]
+
+
 def _assemble_and_solve(cam, prob, poses, points, inv_sigma2, edge_mask,
                         robust, lam):
     """One damped Gauss-Newton step. Returns (dx_c (C,6), dx_p (Q,3), err)."""
@@ -109,7 +135,7 @@ def _assemble_and_solve(cam, prob, poses, points, inv_sigma2, edge_mask,
         jnp.diagonal(Hpp, axis1=-2, axis2=-1).max(-1), 1e-6)[:, None, None]
     pt_on = prob.pt_valid & (jnp.sum(edge_on, axis=1) > 0)
     Hpp_d = jnp.where(pt_on[:, None, None], Hpp_d, jnp.eye(3))
-    Hpp_inv = jnp.linalg.inv(Hpp_d)
+    Hpp_inv = _inv3x3(Hpp_d)
     bp = jnp.sum(bp_e, axis=1)                          # (Q,3)
 
     # dense W layout (Q, C, 6, 3) for the big Schur matmul

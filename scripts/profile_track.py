@@ -183,8 +183,6 @@ def main():
     scan10(sys_, cfg, m, f)
 
 
-if __name__ == "__main__":
-    main()
 
 
 def scan10(sys_, cfg, m, f):
@@ -225,3 +223,7 @@ def scan10(sys_, cfg, m, f):
         _ = np.asarray(out)
         best = min(best, (time.time() - t0) / 10)
     print(f"{'track_step x10 scan':26s} {best*1000:9.2f} ms", flush=True)
+
+
+if __name__ == "__main__":
+    main()
