@@ -59,7 +59,7 @@ def main():
     n_build, n_eval = 60, 30
     # 150-frame circle density (~0.16 m/frame): real inter-frame motion
     # without overwhelming the velocity-free first frames
-    gt = loop_trajectory(150, radius=3.0)[:n_build + n_eval + 1]
+    gt = loop_trajectory(150, radius=3.0)[:n_build + 2 * n_eval + 1]
     frames = [(jax.device_put(jnp.asarray(i), dev),
                jax.device_put(jnp.asarray(d), dev))
               for i, d in (world.render_with_depth(T) for T in gt)]
@@ -79,20 +79,20 @@ def main():
         f"pts={int(s.m.n_points)}")
 
     # ---- steady-state: the system's own per-frame call, natural KF policy ----
-    def run_eval():
+    def run_eval(i0):
         times = []
         n_kf0 = int(s.m.n_keyframes)
-        for i in range(n_build, n_build + n_eval):
+        for i in range(i0, i0 + n_eval):
             t0 = time.time()
             Tcw = s.track_rgbd(*frames[i], i / cfg.fps)
             times.append(time.time() - t0)
             assert Tcw is not None
         return np.array(times), int(s.m.n_keyframes) - n_kf0
 
-    run_eval()                      # warm the eval-path compile end to end
-    # second lap over the same arc for the measurement
-    s.frame_id = n_build
-    times, new_kf = run_eval()
+    run_eval(n_build)               # warm the eval-path compile end to end
+    # measurement on the NEXT contiguous arc (replaying the same frames would
+    # teleport the camera back and break the motion model)
+    times, new_kf = run_eval(n_build + n_eval)
     med = float(np.median(times))
     fps = 1.0 / med
     log(f"per-frame: median {med*1000:.2f} ms, p90 "

@@ -39,6 +39,8 @@ def main():
     ap.add_argument("--no-loop-closing", action="store_true")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     ap.add_argument("--plot", default=None, help="save a map/trajectory PNG")
+    ap.add_argument("--live-view", action="store_true",
+                    help="run the LiveViewer thread (PNG stream / window)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -73,6 +75,10 @@ def main():
         gt = lateral_trajectory(args.frames, step=args.step, yaw_rate=0.004)
 
     sys_ = SlamSystem(cfg, enable_loop_closing=not args.no_loop_closing)
+    live = None
+    if args.live_view:
+        from orb_slam2_tpu.viewer import LiveViewer
+        live = LiveViewer(sys_, out_dir=".", fps=1.0)
     times = []
     est = {}
     for i, T_wc in enumerate(gt):
@@ -91,12 +97,18 @@ def main():
             Tcw = sys_.track_monocular(img, i * 0.1)
         dt = time.time() - t0
         times.append(dt)
+        if live is not None:
+            live.update(img)
         state = sys_.metrics[-1] if sys_.metrics else {}
         kf = state.get('n_kf') or '-'
         pts = state.get('n_pts') or '-'
         print(f"frame {i:3d}  {dt*1000:7.1f} ms  tracked={Tcw is not None} "
               f"inliers={state.get('inliers', '-')} kf={kf} pts={pts}")
 
+    if live is not None:
+        live.join()
+        print(f"live viewer: {live.n_renders} renders "
+              f"(map_live.png / frame_live.png)")
     traj = sys_.get_trajectory()
     print(f"\ntracked {len(traj)}/{args.frames} frames; "
           f"median frame time {np.median(times[2:])*1000:.1f} ms")

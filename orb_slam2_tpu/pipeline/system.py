@@ -10,6 +10,7 @@ device; this class only sequences jitted calls and keeps small host state.
 """
 from __future__ import annotations
 
+import time
 from dataclasses import dataclass
 from typing import List, Optional, Tuple
 
@@ -82,6 +83,7 @@ class SlamSystem:
         self._kfs_since_gba = 0
         self._gba_chunks_left = 0
         self.metrics: List[dict] = []
+        self.stage_ms: dict = {}   # wall ms of the last KF's pipeline stages
 
     # ------------------------------------------------------------------
     # public entry points (System::TrackMonocular/Stereo/RGBD)
@@ -424,6 +426,7 @@ class SlamSystem:
         need_kf = (not self.localization_only and
                    self._need_kf_from_scalars(sc))
         if need_kf:
+            t_kf0 = time.time()
             self.m, kf_id = mapping_ops.insert_keyframe(
                 cfg, self.m, f, jnp.asarray(Tcw), matched_pt,
                 self.frame_id, timestamp)
@@ -431,8 +434,13 @@ class SlamSystem:
             self.last_kf_frame_id = self.frame_id
             matched_pt = self.m.kf_obs[kf_id]
             loops_before = self.n_loops_closed
+            t_map0 = time.time()
             self._local_mapping_pass(int(kf_id))
+            t_loop0 = time.time()
             self._on_keyframe_inserted(int(kf_id), f)
+            self.stage_ms = {"insert": (t_map0 - t_kf0) * 1e3,
+                             "mapping": (t_loop0 - t_map0) * 1e3,
+                             "loop": (time.time() - t_loop0) * 1e3}
             gba_chunk_ran = False
             if (self.n_loops_closed == loops_before and
                     self._gba_chunks_left > 0):
@@ -462,10 +470,13 @@ class SlamSystem:
             self.last_pts_valid = res.next_pts_valid
 
         self._record(timestamp, T_rel, self.ref_kf, False)
-        self.metrics.append(dict(frame=self.frame_id, state="OK",
-                                 inliers=n_local_inl, kf=bool(need_kf),
-                                 n_kf=int(self.m.n_keyframes) if need_kf else None,
-                                 n_pts=int(self.m.n_points) if need_kf else None))
+        entry = dict(frame=self.frame_id, state="OK",
+                     inliers=n_local_inl, kf=bool(need_kf),
+                     n_kf=int(self.m.n_keyframes) if need_kf else None,
+                     n_pts=int(self.m.n_points) if need_kf else None)
+        if need_kf:
+            entry["stage_ms"] = self.stage_ms
+        self.metrics.append(entry)
         return Tcw
 
     def _need_kf_from_scalars(self, sc) -> bool:

