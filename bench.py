@@ -50,13 +50,22 @@ def main():
 
     dev = jax.devices()[0]
     log(f"device: {dev}")
-    fx = 517.3
-    cfg = SlamConfig(fx=fx, fy=fx, cx=320.0, cy=240.0, width=640, height=480,
+    small = bool(os.environ.get("BENCH_SMALL"))   # CPU smoke of the harness
+    if small:
+        fx, W, H, nf = 260.0, 320, 240, 600
+        kw = dict(max_keyframes=64, max_map_points=1 << 14,
+                  ba_local_cams=16, ba_fixed_cams=16, ba_max_points=1 << 11,
+                  ba_max_obs=8, max_local_keyframes=32,
+                  max_local_points=1 << 12, use_pallas=False)
+    else:
+        fx, W, H, nf = 517.3, 640, 480, 1000
+        kw = dict(use_pallas=True)
+    cfg = SlamConfig(fx=fx, fy=fx, cx=W / 2, cy=H / 2, width=W, height=H,
                      bf=fx * 0.25, sensor=SENSOR_RGBD, fps=30.0,
-                     th_depth=40.0, n_features=1000, use_pallas=True)
+                     th_depth=40.0, n_features=nf, **kw)
 
-    world = PlateWorld(fx, fx, 320.0, 240.0, 640, 480, z0=5.0)
-    n_build, n_eval = 60, 30
+    world = PlateWorld(fx, fx, W / 2, H / 2, W, H, z0=5.0)
+    n_build, n_eval = (24, 12) if small else (60, 30)
     # 150-frame circle density (~0.16 m/frame): real inter-frame motion
     # without overwhelming the velocity-free first frames
     gt = loop_trajectory(150, radius=3.0)[:n_build + 2 * n_eval + 1]

@@ -11,6 +11,7 @@ device; this class only sequences jitted calls and keeps small host state.
 from __future__ import annotations
 
 import time
+from collections import deque
 from dataclasses import dataclass
 from typing import List, Optional, Tuple
 
@@ -36,6 +37,19 @@ LOST = 2
 INVALID = -1
 
 
+class _Pending:
+    """Sentinel returned by the pipelined stream while a frame's result is
+    still in flight (truthy: the frame was dispatched, not lost)."""
+    def __repr__(self):
+        return "<pose pending>"
+
+    def __bool__(self):
+        return True
+
+
+PENDING = _Pending()
+
+
 @dataclass
 class TrajectoryEntry:
     timestamp: float
@@ -48,8 +62,18 @@ class SlamSystem:
     """Facade: construct once, call track_* per frame, then get_trajectory()."""
 
     def __init__(self, cfg: SlamConfig, vocabulary=None, enable_loop_closing=True,
-                 gba_mesh=None):
+                 gba_mesh=None, pipeline_depth: int = 0):
         self.cfg = cfg
+        # pipeline_depth > 0 enables the software-pipelined tracking stream:
+        # dispatch frame i, retire frame i-depth (read its scalars, run the
+        # keyframe decision). The device runs ahead of the host, hiding the
+        # dispatch/readback round trip — the same relaxation the reference
+        # makes by running LocalMapping in a separate thread (a tracked frame
+        # often doesn't see the keyframe its predecessor spawned,
+        # src/LocalMapping.cc:71-159). 0 = fully synchronous.
+        self.pipeline_depth = int(pipeline_depth)
+        self._pending = deque()   # in-flight (timestamp, frame_id, res)
+        self._chain = None        # device-resident next-step inputs
         self.cam = cfg.camera()
         self.m = mapstate.empty(cfg.max_keyframes, cfg.max_map_points,
                                 cfg.max_keypoints)
@@ -94,27 +118,33 @@ class SlamSystem:
         # before initialization the extraction budget doubles (reference's
         # mpIniORBextractor, src/Tracking.cc:188-190,398)
         if self.state == OK:
-            return self._track(None, timestamp,
-                               images=(jnp.asarray(img),), sensor="mono")
+            images = (jnp.asarray(img),)
+            if self.pipeline_depth > 0:
+                return self._track_stream(images, timestamp, "mono")
+            return self._track(None, timestamp, images=images, sensor="mono")
+        self._flush_pipeline()
         f = frame_mod.make_frame_monocular(
             jnp.asarray(img), self.cfg, init=self.state == NOT_INITIALIZED)
         return self._track(f, timestamp)
 
     def track_stereo(self, img_left, img_right, timestamp: float):
         if self.state == OK:
-            return self._track(
-                None, timestamp,
-                images=(jnp.asarray(img_left), jnp.asarray(img_right)),
-                sensor="stereo")
+            images = (jnp.asarray(img_left), jnp.asarray(img_right))
+            if self.pipeline_depth > 0:
+                return self._track_stream(images, timestamp, "stereo")
+            return self._track(None, timestamp, images=images, sensor="stereo")
+        self._flush_pipeline()
         f = frame_mod.make_frame_stereo(
             jnp.asarray(img_left), jnp.asarray(img_right), self.cfg)
         return self._track(f, timestamp)
 
     def track_rgbd(self, img, depth, timestamp: float):
         if self.state == OK:
-            return self._track(
-                None, timestamp,
-                images=(jnp.asarray(img), jnp.asarray(depth)), sensor="rgbd")
+            images = (jnp.asarray(img), jnp.asarray(depth))
+            if self.pipeline_depth > 0:
+                return self._track_stream(images, timestamp, "rgbd")
+            return self._track(None, timestamp, images=images, sensor="rgbd")
+        self._flush_pipeline()
         f = frame_mod.make_frame_rgbd(
             jnp.asarray(img), jnp.asarray(depth), self.cfg)
         return self._track(f, timestamp)
@@ -426,38 +456,8 @@ class SlamSystem:
         need_kf = (not self.localization_only and
                    self._need_kf_from_scalars(sc))
         if need_kf:
-            t_kf0 = time.time()
-            self.m, kf_id = mapping_ops.insert_keyframe(
-                cfg, self.m, f, jnp.asarray(Tcw), matched_pt,
-                self.frame_id, timestamp)
-            self.ref_kf = int(kf_id)
-            self.last_kf_frame_id = self.frame_id
-            matched_pt = self.m.kf_obs[kf_id]
-            loops_before = self.n_loops_closed
-            t_map0 = time.time()
-            self._local_mapping_pass(int(kf_id))
-            t_loop0 = time.time()
-            self._on_keyframe_inserted(int(kf_id), f)
-            self.stage_ms = {"insert": (t_map0 - t_kf0) * 1e3,
-                             "mapping": (t_loop0 - t_map0) * 1e3,
-                             "loop": (time.time() - t_loop0) * 1e3}
-            gba_chunk_ran = False
-            if (self.n_loops_closed == loops_before and
-                    self._gba_chunks_left > 0):
-                # one amortized loop-GBA chunk per keyframe (P5; a fresh
-                # loop closure above would have reset the schedule)
-                n = max(1, -(-cfg.gba_total_iters // cfg.gba_async_chunks))
-                self.m = loop_closing.run_global_ba(
-                    cfg, self.m, mesh=self.gba_mesh, n_iters=n)
-                self._gba_chunks_left -= 1
-                gba_chunk_ran = True
-            if (self._maybe_periodic_gba() or gba_chunk_ran or
-                    self.n_loops_closed != loops_before):
-                # loop correction / GBA rewrote keyframe poses (incl. this
-                # KF's): continue tracking from the corrected pose, and drop
-                # the motion model (it was computed against the stale poses)
-                Tcw = np.asarray(self.m.kf_pose[int(kf_id)])
-                self.velocity = None
+            Tcw, matched_pt, _ = self._handle_keyframe(
+                f, Tcw, matched_pt, self.frame_id, timestamp)
             self._set_last(f, Tcw, matched_pt)
             T_ref = np.asarray(self.m.kf_pose[self.ref_kf])
             T_rel = Tcw @ np.linalg.inv(T_ref)
@@ -479,13 +479,219 @@ class SlamSystem:
         self.metrics.append(entry)
         return Tcw
 
-    def _need_kf_from_scalars(self, sc) -> bool:
-        """NeedNewKeyFrame from the fused step's scalar bundle."""
+    # ------------------------------------------------------------------
+    # Pipelined tracking stream (pipeline_depth > 0): the device runs
+    # ahead of the host by `depth` frames. Dispatch frame i with fully
+    # device-resident chained state (no host round trip on the hot path),
+    # then retire frame i-depth: one small scalar read (prefetched with
+    # copy_to_host_async), the keyframe decision, trajectory recording.
+    # The KF a frame spawns becomes visible to tracking `depth` frames
+    # later — the same relaxation the reference makes by running
+    # LocalMapping in its own thread (src/LocalMapping.cc:71-159).
+    # ------------------------------------------------------------------
+
+    def _track_stream(self, images, timestamp: float, sensor: str):
         cfg = self.cfg
+        if self._chain is None:
+            # (re)build device chain from host state (after init, KF with
+            # correction, relocalization, or mode switches)
+            has_vel = self.velocity is not None
+            vel = np.asarray(self.velocity if has_vel else np.eye(4),
+                             dtype=np.float32)
+            self._chain = dict(
+                last=self.last_frame, pts=self.last_pts,
+                ptsv=self.last_pts_valid,
+                mpt=jnp.asarray(self.last_matched_pt),
+                Tcw=jnp.asarray(np.asarray(self.last_Tcw, dtype=np.float32)),
+                vel=jnp.asarray(vel), has_vel=jnp.asarray(has_vel),
+                ref=jnp.asarray(self.ref_kf, dtype=jnp.int32))
+        ch = self._chain
+        recently_reloc = self.frame_id < self.last_reloc_frame_id + int(cfg.fps)
+        min_inl = 50 if recently_reloc else 30
+        res = tracking_step.full_tracking_step_from_images(
+            cfg, self.m, images, ch["last"], ch["pts"], ch["ptsv"],
+            ch["mpt"], ch["Tcw"], ch["vel"], ch["has_vel"], ch["ref"],
+            min_inl, sensor)
+        self.m = res.m
+        for a in (res.scalars, res.Tcw, res.T_rel):
+            try:
+                a.copy_to_host_async()
+            except Exception:
+                pass   # backend without async host copies: retire pays 1 RTT
+        self._chain = dict(
+            last=res.frame, pts=res.next_pts, ptsv=res.next_pts_valid,
+            mpt=res.matched_pt, Tcw=res.Tcw,
+            vel=tracking_step.velocity_step(res.Tcw, ch["Tcw"]),
+            has_vel=jnp.asarray(True), ref=res.ref_kf)
+        self._pending.append((timestamp, self.frame_id, res))
+        self.frame_id += 1
+        if len(self._pending) > self.pipeline_depth:
+            return self._retire_one()
+        return PENDING
+
+    def _retire_one(self):
+        """Finish the oldest in-flight frame: read its scalar bundle, run the
+        host-side tail of the tracking state machine (KF decision, loop
+        closing, trajectory recording). Returns its pose or None if lost."""
+        timestamp, fid, res = self._pending.popleft()
+        sc, Tcw, T_rel = jax.device_get((res.scalars, res.Tcw, res.T_rel))
+        ok = bool(sc[0])
+        n_local = int(sc[3])
+        self.ref_kf = int(sc[8])
+        self.n_inliers = n_local
+        f = res.frame
+
+        if not ok:
+            if self.localization_only and bool(sc[9]) and int(sc[2]) >= 10:
+                # mbVO: map matches collapsed but odometry holds — keep the
+                # VO pose and keep streaming (src/Tracking.cc:533-560); the
+                # full relocalization engages when the pose itself fails
+                self.state = OK
+                self.last_Tcw = Tcw
+                self._record(timestamp, T_rel, self.ref_kf, False)
+                self.metrics.append(dict(frame=fid, state="OK",
+                                         inliers=n_local, vo=True))
+                return Tcw
+            # genuinely lost: frames dispatched after this one chained from
+            # a bad pose — drain them as lost and leave the stream
+            self._drain_pipeline(record_lost=True)
+            self._chain = None
+            if (not self.localization_only and int(self._nkf_cache()) <= 5):
+                self.reset()
+                self._record(timestamp, np.eye(4), 0, True)
+                self.metrics.append(dict(frame=fid, state="RESET",
+                                         inliers=n_local))
+                return None
+            self.state = LOST
+            self._record(timestamp, np.eye(4), self.ref_kf, True)
+            self.metrics.append(dict(frame=fid, state="LOST",
+                                     inliers=n_local))
+            return None
+
+        self.state = OK
+        if self.last_Tcw is not None:
+            self.velocity = Tcw @ np.linalg.inv(self.last_Tcw)
+        self.last_Tcw = Tcw
+        if self.voc is None:
+            self._ensure_vocabulary(f)
+
+        need_kf = (not self.localization_only and
+                   self._need_kf_from_scalars(sc, fid=fid))
+        self._record(timestamp, T_rel, self.ref_kf, False)
+        self.metrics.append(dict(frame=fid, state="OK", inliers=n_local))
+        if need_kf:
+            # Insert the keyframe from the NEWEST in-flight frame, not the
+            # (depth)-frames-old retired one: draining first keeps the map
+            # frontier current under fast motion (the reference's
+            # CreateNewKeyFrame also snapshots the CURRENT frame,
+            # src/Tracking.cc:1638). The drained frames record their tracked
+            # poses; no nested KF decisions (the reference likewise skips
+            # NeedNewKeyFrame while the mapper is busy).
+            newest = self._drain_pipeline(record_lost=False)
+            if newest is not None:
+                ts2, fid2, res2, Tcw2 = newest
+            else:
+                ts2, fid2, res2, Tcw2 = timestamp, fid, res, Tcw
+            Tcw_kf, matched_kf, corrected = self._handle_keyframe(
+                res2.frame, res2.Tcw if newest is not None else Tcw2,
+                res2.matched_pt, fid2, ts2)
+            Tcw_kf = np.asarray(Tcw_kf)
+            self._set_last(res2.frame, Tcw_kf, matched_kf)
+            self._chain = None   # rebuild from post-KF (possibly corrected) state
+            self.metrics.append(dict(frame=fid2, state="OK", kf=True,
+                                     inliers=n_local,
+                                     n_kf=int(self.m.n_keyframes),
+                                     n_pts=int(self.m.n_points),
+                                     stage_ms=self.stage_ms))
+        return Tcw
+
+    def _drain_pipeline(self, record_lost: bool):
+        """Empty the in-flight queue without running keyframe decisions:
+        either record frames as lost (the chain upstream broke) or record
+        their tracked poses as-is. Returns the newest successfully tracked
+        (timestamp, frame_id, res, Tcw) or None."""
+        newest = None
+        while self._pending:
+            ts2, fid2, r2 = self._pending.popleft()
+            sc2, Tcw2, T_rel2 = jax.device_get((r2.scalars, r2.Tcw, r2.T_rel))
+            ok2 = bool(sc2[0]) and not record_lost
+            if ok2:
+                if self.last_Tcw is not None:
+                    # keep the motion model current so the post-drain chain
+                    # rebuild predicts from the newest inter-frame motion
+                    self.velocity = Tcw2 @ np.linalg.inv(self.last_Tcw)
+                self.last_Tcw = Tcw2
+                self._record(ts2, T_rel2, int(sc2[8]), False)
+                newest = (ts2, fid2, r2, Tcw2)
+            else:
+                self._record(ts2, np.eye(4), self.ref_kf, True)
+            self.metrics.append(dict(frame=fid2,
+                                     state="OK" if ok2 else "LOST",
+                                     inliers=int(sc2[3])))
+        return newest
+
+    def _flush_pipeline(self):
+        """Retire everything in flight (sequence end / state transitions)."""
+        while self._pending:
+            self._retire_one()
+        self._chain = None
+
+    def flush(self):
+        """Public: drain the pipelined stream (call at end of a sequence
+        before reading the trajectory when pipeline_depth > 0)."""
+        self._flush_pipeline()
+
+    def _handle_keyframe(self, f: FrameData, Tcw, matched_pt, fid: int,
+                         timestamp: float):
+        """Insert a keyframe from frame `f` at pose `Tcw` and run the full
+        per-KF pipeline (mapping pass, loop closing, amortized/periodic GBA).
+        Returns (possibly corrected Tcw, the KF's obs bindings, corrected?)."""
+        cfg = self.cfg
+        t_kf0 = time.time()
+        self.m, kf_id = mapping_ops.insert_keyframe(
+            cfg, self.m, f, jnp.asarray(Tcw), matched_pt, fid, timestamp)
+        self.ref_kf = int(kf_id)
+        self.last_kf_frame_id = fid
+        matched_pt = self.m.kf_obs[kf_id]
+        loops_before = self.n_loops_closed
+        t_map0 = time.time()
+        self._local_mapping_pass(int(kf_id))
+        t_loop0 = time.time()
+        self._on_keyframe_inserted(int(kf_id), f)
+        self.stage_ms = {"insert": (t_map0 - t_kf0) * 1e3,
+                         "mapping": (t_loop0 - t_map0) * 1e3,
+                         "loop": (time.time() - t_loop0) * 1e3}
+        gba_chunk_ran = False
+        if (self.n_loops_closed == loops_before and
+                self._gba_chunks_left > 0):
+            # one amortized loop-GBA chunk per keyframe (P5; a fresh
+            # loop closure above would have reset the schedule)
+            n = max(1, -(-cfg.gba_total_iters // cfg.gba_async_chunks))
+            self.m = loop_closing.run_global_ba(
+                cfg, self.m, mesh=self.gba_mesh, n_iters=n)
+            self._gba_chunks_left -= 1
+            gba_chunk_ran = True
+        corrected = (self._maybe_periodic_gba() or gba_chunk_ran or
+                     self.n_loops_closed != loops_before)
+        if corrected:
+            # loop correction / GBA rewrote keyframe poses (incl. this
+            # KF's): continue tracking from the corrected pose, and drop
+            # the motion model (it was computed against the stale poses)
+            Tcw = np.asarray(self.m.kf_pose[int(kf_id)])
+            self.velocity = None
+        return Tcw, matched_pt, corrected
+
+    def _need_kf_from_scalars(self, sc, fid=None) -> bool:
+        """NeedNewKeyFrame from the fused step's scalar bundle. `fid` is the
+        frame the scalars belong to (differs from self.frame_id by the
+        pipeline depth in stream mode)."""
+        cfg = self.cfg
+        if fid is None:
+            fid = self.frame_id
         if int(self._nkf_cache()) >= cfg.max_keyframes - 2:
             return False
         n_kf_now = self._nkf_cache()
-        if (self.frame_id < self.last_reloc_frame_id + int(cfg.fps)
+        if (fid < self.last_reloc_frame_id + int(cfg.fps)
                 and n_kf_now > int(cfg.fps)):
             # no new keyframes for one second after a relocalization
             # (src/Tracking.cc:1513-1515)
@@ -494,7 +700,7 @@ class SlamSystem:
         ref_matches = int(sc[4])
         close_tracked = int(sc[5])
         close_untracked = int(sc[6])
-        frames_since = self.frame_id - self.last_kf_frame_id
+        frames_since = fid - self.last_kf_frame_id
         n_kf = self._nkf_cache()
         th_ratio = 0.75 if cfg.sensor != SENSOR_MONOCULAR else 0.9
         if n_kf < 2:
@@ -564,6 +770,8 @@ class SlamSystem:
         self.last_reloc_frame_id = -(1 << 30)
         self.trajectory = []
         self._kfs_since_gba = 0
+        self._pending.clear()   # in-flight stream results reference the old map
+        self._chain = None
 
     def get_tracking_state(self):
         return self.state

@@ -47,6 +47,14 @@ class TrackStepResult(NamedTuple):
                                #  localization-mode VO fallback reads this)]
 
 
+@jax.jit
+def velocity_step(Tcw, T_prev):
+    """Device-side motion model update (mVelocity = Tcw * T_prev^-1,
+    src/Tracking.cc:680-686) — lets the pipelined stream chain poses without
+    a host round trip."""
+    return Tcw @ se3.inverse(T_prev)
+
+
 def _motion_model(cfg, cam, T_pred, last, last_pts, last_pts_valid,
                   last_matched_pt, cur, th, check_rotation):
     pc = se3.apply(T_pred, last_pts)
