@@ -37,6 +37,10 @@ def main():
                     help="'plates' adds 3D relief (realistic geometry); "
                          "'plane' is the degenerate single-plane scene")
     ap.add_argument("--no-loop-closing", action="store_true")
+    ap.add_argument("--pipeline-depth", type=int, default=0,
+                    help="software-pipelined tracking stream: the device "
+                         "runs ahead of the host by this many frames "
+                         "(0 = fully synchronous)")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     ap.add_argument("--plot", default=None, help="save a map/trajectory PNG")
     ap.add_argument("--live-view", action="store_true",
@@ -52,7 +56,7 @@ def main():
     from orb_slam2_tpu.utils.synthetic import (PlaneWorld, PlateWorld,
                                                lateral_trajectory,
                                                loop_trajectory, ate_rmse)
-    from orb_slam2_tpu.pipeline.system import SlamSystem
+    from orb_slam2_tpu.pipeline.system import SlamSystem, PENDING
 
     sensor = dict(mono=SENSOR_MONOCULAR, stereo=SENSOR_STEREO, rgbd=SENSOR_RGBD)[args.sensor]
     fx = fy = 300.0
@@ -74,7 +78,8 @@ def main():
     else:
         gt = lateral_trajectory(args.frames, step=args.step, yaw_rate=0.004)
 
-    sys_ = SlamSystem(cfg, enable_loop_closing=not args.no_loop_closing)
+    sys_ = SlamSystem(cfg, enable_loop_closing=not args.no_loop_closing,
+                      pipeline_depth=args.pipeline_depth)
     live = None
     if args.live_view:
         from orb_slam2_tpu.viewer import LiveViewer
@@ -102,9 +107,11 @@ def main():
         state = sys_.metrics[-1] if sys_.metrics else {}
         kf = state.get('n_kf') or '-'
         pts = state.get('n_pts') or '-'
-        print(f"frame {i:3d}  {dt*1000:7.1f} ms  tracked={Tcw is not None} "
+        tracked = "pending" if Tcw is PENDING else Tcw is not None
+        print(f"frame {i:3d}  {dt*1000:7.1f} ms  tracked={tracked} "
               f"inliers={state.get('inliers', '-')} kf={kf} pts={pts}")
 
+    sys_.flush()   # retire any in-flight pipelined frames
     if live is not None:
         live.join()
         print(f"live viewer: {live.n_renders} renders "

@@ -118,6 +118,23 @@ def compose(A, B):
     return A @ B
 
 
+def orthonormalize(T):
+    """Project the rotation block onto SO(3) (nearest rotation, two Newton
+    iterations of R <- R(3I - R^T R)/2) and pin the homogeneous row.
+
+    Long f32 pose chains (pipelined tracking: predict -> optimize -> chain,
+    never leaving the device) accumulate non-orthogonality that the
+    transpose-form `inverse` then amplifies as e_{i+1} = 2 e_i + e_{i-1}
+    — growth rate 1 + sqrt(2) per frame, measured exactly on the stream
+    before this projection was added. A true matrix inverse (the host path's
+    np.linalg.inv) hides the drift; on-device chains must re-project."""
+    R = rotation(T)
+    I = jnp.eye(3, dtype=T.dtype)
+    for _ in range(2):
+        R = R @ (1.5 * I - 0.5 * jnp.swapaxes(R, -1, -2) @ R)
+    return make(R, translation(T))
+
+
 def apply(T, p):
     """Transform points: (...,4,4) x (...,3) -> (...,3)."""
     return jnp.einsum("...ij,...j->...i", rotation(T), p) + translation(T)

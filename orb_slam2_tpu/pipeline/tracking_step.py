@@ -51,8 +51,10 @@ class TrackStepResult(NamedTuple):
 def velocity_step(Tcw, T_prev):
     """Device-side motion model update (mVelocity = Tcw * T_prev^-1,
     src/Tracking.cc:680-686) — lets the pipelined stream chain poses without
-    a host round trip."""
-    return Tcw @ se3.inverse(T_prev)
+    a host round trip. Orthonormalized: chained f32 poses drift off SO(3)
+    and the transpose-form inverse amplifies that drift exponentially
+    (see se3.orthonormalize)."""
+    return se3.orthonormalize(Tcw @ se3.inverse(se3.orthonormalize(T_prev)))
 
 
 def _motion_model(cfg, cam, T_pred, last, last_pts, last_pts_valid,

@@ -81,7 +81,10 @@ def optimize_pose(cam: Camera, Tcw0, Xw, obs_uvr, level, valid, level_sigma2,
     comp_stereo = obs_uvr[:, 2] >= 0
     delta2 = jnp.where(comp_stereo, reproj.CHI2_STEREO, reproj.CHI2_MONO)
 
-    Tcw = Tcw0
+    # kill inherited rotation non-orthogonality: the retract chain
+    # (exp(dx) @ T) preserves whatever error the seed carries, and on-device
+    # pose chains (pipelined tracking) would otherwise compound it
+    Tcw = se3.orthonormalize(Tcw0)
     inlier = valid
     for r in range(n_rounds):
         robust = r < 2  # reference drops the Huber kernel after round 2

@@ -62,6 +62,23 @@ class TestSE3:
         I = se3.compose(T, se3.inverse(T))
         np.testing.assert_allclose(np.asarray(I), np.broadcast_to(np.eye(4), (8, 4, 4)), atol=1e-10)
 
+    def test_orthonormalize(self, rng):
+        xi = rng.normal(size=(8, 6))
+        T = np.asarray(se3.exp(jnp.asarray(xi)))
+        # perturb the rotation block off SO(3) (f32 pose-chain drift model)
+        Tp = T.copy()
+        Tp[:, :3, :3] += rng.normal(size=(8, 3, 3)) * 1e-4
+        To = np.asarray(se3.orthonormalize(jnp.asarray(Tp)))
+        RtR = np.einsum("bji,bjk->bik", To[:, :3, :3], To[:, :3, :3])
+        np.testing.assert_allclose(RtR, np.broadcast_to(np.eye(3), (8, 3, 3)),
+                                   atol=1e-9)
+        # projection stays near the perturbed input, not some other rotation
+        np.testing.assert_allclose(To[:, :3, :3], T[:, :3, :3], atol=1e-3)
+        np.testing.assert_allclose(To[:, :3, 3], Tp[:, :3, 3], atol=1e-12)
+        # exact rotations are fixed points
+        To2 = np.asarray(se3.orthonormalize(jnp.asarray(T)))
+        np.testing.assert_allclose(To2, T, atol=1e-12)
+
     def test_apply(self, rng):
         xi = rng.normal(size=(6,))
         T = se3.exp(jnp.asarray(xi))

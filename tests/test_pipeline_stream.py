@@ -1,0 +1,58 @@
+"""Pipelined tracking stream (SlamSystem(pipeline_depth>0)): the device runs
+ahead of the host, chaining all per-frame state (pose, velocity, 3D points,
+matches) on-device with zero host round trips on the hot path; the host
+retires frames `depth` behind (scalar read + keyframe decision + trajectory).
+
+Regression pinned here: the on-device pose chain must re-orthonormalize —
+f32 rotation drift fed through the transpose-form SE3 inverse grows as
+e_{i+1} = 2 e_i + e_{i-1} (rate 1+sqrt(2) per frame) and collapsed tracking
+in ~17 frames before `se3.orthonormalize` was applied in velocity_step /
+optimize_pose. The synchronous host path was immune only because
+np.linalg.inv computes a true inverse.
+"""
+import numpy as np
+import pytest
+
+from orb_slam2_tpu.utils.config import SlamConfig, SENSOR_RGBD
+from orb_slam2_tpu.utils.synthetic import (PlateWorld, lateral_trajectory,
+                                           ate_rmse)
+from orb_slam2_tpu.pipeline.system import SlamSystem, PENDING
+
+FX = 260.0
+
+
+def _cfg():
+    return SlamConfig(fx=FX, fy=FX, cx=160.0, cy=120.0, width=320, height=240,
+                      n_features=500, bf=FX * 0.25, sensor=SENSOR_RGBD,
+                      fps=10.0, th_depth=40.0, max_keyframes=64,
+                      max_map_points=1 << 14, ba_local_cams=16,
+                      ba_fixed_cams=16, ba_max_points=1 << 11, ba_max_obs=8,
+                      max_local_keyframes=32, max_local_points=1 << 12)
+
+
+@pytest.mark.slow
+def test_stream_matches_synchronous_accuracy():
+    cfg = _cfg()
+    world = PlateWorld(FX, FX, 160.0, 120.0, 320, 240, z0=5.0)
+    gt = lateral_trajectory(40, step=0.05)
+    frames = [world.render_with_depth(T) for T in gt]
+
+    s = SlamSystem(cfg, enable_loop_closing=False, pipeline_depth=2)
+    n_pending = 0
+    for i, (img, d) in enumerate(frames):
+        out = s.track_rgbd(img, d, i / cfg.fps)
+        if out is PENDING:
+            n_pending += 1
+    s.flush()
+    # the first `depth` streamed frames return PENDING (still in flight)
+    assert n_pending >= 1
+    traj = s.get_trajectory()
+    assert len(traj) >= 0.95 * len(gt), f"tracked {len(traj)}/{len(gt)}"
+    est = [T for _, T in traj]
+    gtp = [gt[int(round(ts * cfg.fps))] for ts, _ in traj]
+    rmse = ate_rmse(est, gtp)
+    # synchronous path measures ~1.6 cm on this sequence; before the pose
+    # orthonormalization fix the stream measured 92 cm here
+    assert rmse < 0.05, f"stream ATE {rmse*100:.1f} cm"
+    # KF policy must not fire late: sync inserts 3 KFs on this sequence
+    assert int(s.m.n_keyframes) <= 5
