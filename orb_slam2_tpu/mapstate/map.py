@@ -59,6 +59,15 @@ class MapState(NamedTuple):
                                # (refreshed after keyframe insertion and each
                                # mapping pass; per-frame consumers read the
                                # snapshot instead of re-scattering K*N entries)
+    pt_forward: jnp.ndarray    # (P,) i32 replacement forwarding: fusion
+                               # redirects point i to pt_forward[i] (identity
+                               # when live). Device-side equivalent of the
+                               # reference's MapPoint::GetReplaced chain that
+                               # Tracking::CheckReplacedInLastFrame walks
+                               # (src/Tracking.cc:1135-1163): the tracking
+                               # step resolves last-frame bindings through it
+                               # so a point fused away between frames keeps
+                               # matching under its survivor id.
     # --- graphs ---
     covis: jnp.ndarray         # (K,K) i32 shared-point counts
     parent: jnp.ndarray        # (K,) i32 spanning-tree parent (-1 root)
@@ -118,6 +127,7 @@ def empty(max_keyframes: int, max_points: int, max_keypoints: int,
         pt_visible=f((P,), jnp.int32),
         pt_found=f((P,), jnp.int32),
         pt_obs_cnt=f((P,), jnp.int32),
+        pt_forward=jnp.arange(P, dtype=jnp.int32),
         covis=f((K, K), jnp.int32),
         parent=jnp.full((K,), INVALID, jnp.int32),
         loop_edges=jnp.full((max_loop_edges, 2), INVALID, jnp.int32),
@@ -253,6 +263,9 @@ def add_points(m: MapState, slots, pos, desc, ref_kf, first_kf):
         pt_first_kf=upd(m.pt_first_kf, jnp.broadcast_to(first_kf, slots.shape)),
         pt_visible=m.pt_visible.at[si].set(1, mode="drop"),
         pt_found=m.pt_found.at[si].set(1, mode="drop"),
+        # a reallocated slot is a fresh point: clear any old redirect
+        pt_forward=m.pt_forward.at[si].set(
+            jnp.where(ok, slots, 0), mode="drop"),
         next_pt=m.next_pt + jnp.sum(ok.astype(jnp.int32)),
     )
 
@@ -308,6 +321,9 @@ def replace_points(m: MapState, mapping):
         pt_valid=m.pt_valid & ~replaced,
         pt_visible=m.pt_visible + add_vis,
         pt_found=m.pt_found + add_fnd,
+        # compose the forwarding chain: ids handed out earlier (e.g. a
+        # pipelined frame's bindings) resolve to the survivor
+        pt_forward=mapping[jnp.clip(m.pt_forward, 0, P - 1)],
     )
 
 

@@ -31,72 +31,104 @@ from . import mapping_ops
 INVALID = -1
 
 
+MAX_LOOP_CANDIDATES = 8      # consistent candidates returned per detection
+MAX_CONSISTENT_GROUPS = 16   # tracked mvConsistentGroups capacity
+
+
 class LoopState:
-    """Host-side consistency-group tracking (`mvConsistentGroups`)."""
+    """Consistency-group tracking (`mvConsistentGroups`) as device arrays:
+    groups (G,K) bool membership + cons (G,) i32 consecutive-detection
+    counts. Kept on device so per-keyframe loop detection costs the host no
+    transfers beyond the one packed candidate read."""
 
     def __init__(self):
-        self.consistent_groups = []   # list of (set(kf_ids), consistency)
+        self.groups = None            # (G,K) bool, lazily sized from the map
+        self.cons = None              # (G,) i32
         self.last_loop_kf_seq = 0
 
+    def ensure(self, K: int):
+        if self.groups is None:
+            self.groups = jnp.zeros((MAX_CONSISTENT_GROUPS, K), bool)
+            self.cons = jnp.zeros((MAX_CONSISTENT_GROUPS,), jnp.int32)
+
     def reset(self):
-        self.consistent_groups = []
+        self.groups = None
+        self.cons = None
         self.last_loop_kf_seq = 0
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _detect_loop_device(cfg: SlamConfig, m: mapstate.MapState, db, bow_vec,
+                        kf_id, prev_groups, prev_cons):
+    """Device half of `DetectLoop` (`src/LoopClosing.cc:137-285`): min-score
+    vs covisible neighbors, shared-word + accumulated-score candidates, and
+    the 3-consecutive-group consistency check — all as array ops, returning a
+    fixed-size candidate list:
+
+      cands (MAX_LOOP_CANDIDATES,) i32 — consistent candidate kf ids sorted
+      by accumulated score, -1 padded — plus the new consistency-group state.
+    """
+    from ..bow import database as db_mod
+
+    K = m.capacity_kf
+    covis_row = m.covis[kf_id]
+    neighbors = (covis_row >= cfg.min_covis_weight) & m.kf_valid
+    has_neighbors = jnp.any(neighbors)
+    scores_all, _ = db_mod.query_scores(db, bow_vec)
+    min_score = jnp.maximum(
+        jnp.min(jnp.where(neighbors, scores_all, jnp.inf)), 1e-6)
+
+    exclude = (covis_row > 0) | neighbors
+    exclude = exclude.at[kf_id].set(True)
+    cand_mask, acc = db_mod.detect_candidates(db, bow_vec, exclude,
+                                              min_score, m.covis)
+    cand_mask = cand_mask & has_neighbors
+
+    # candidate group = itself + covisibility neighbors (one K-row each);
+    # consistency = 1 + max consistency of any previous group it intersects
+    gmask = ((m.covis > 0) | jnp.eye(K, dtype=bool)) & m.kf_valid[None, :]
+    overlap = (gmask.astype(jnp.float32) @
+               prev_groups.T.astype(jnp.float32)) > 0          # (K,G)
+    cons = jnp.max(jnp.where(overlap, prev_cons[None, :] + 1, 0), axis=1)
+
+    # new consistent-group state: the candidates' groups (top-G by score);
+    # no candidates -> state clears (mvConsistentGroups = vCurrentConsistent)
+    g_acc = jnp.where(cand_mask, acc, -1.0)
+    top_acc, top_ids = jax.lax.top_k(g_acc, MAX_CONSISTENT_GROUPS)
+    alive = top_acc > 0
+    new_groups = gmask[jnp.clip(top_ids, 0, K - 1)] & alive[:, None]
+    new_cons = jnp.where(alive, cons[jnp.clip(top_ids, 0, K - 1)], 0)
+
+    consistent = cand_mask & (cons >= cfg.covis_consistency_th)
+    c_acc = jnp.where(consistent, acc, -1.0)
+    best_acc, best_ids = jax.lax.top_k(c_acc, MAX_LOOP_CANDIDATES)
+    cands = jnp.where(best_acc > 0, best_ids, INVALID).astype(jnp.int32)
+    return cands, new_groups, new_cons
+
+
+def detect_loop_dispatch(cfg: SlamConfig, m: mapstate.MapState, db, bow_vec,
+                         kf_id, state: LoopState):
+    """Dispatch loop detection and update the consistency state — NO host
+    sync; returns the (MAX_LOOP_CANDIDATES,) device candidate array for the
+    caller to fold into its one per-keyframe transfer."""
+    state.ensure(m.capacity_kf)
+    cands, state.groups, state.cons = _detect_loop_device(
+        cfg, m, db, bow_vec, kf_id, state.groups, state.cons)
+    return cands
 
 
 def detect_loop(cfg: SlamConfig, m: mapstate.MapState, db, bow_vec, kf_id: int,
                 state: LoopState, kf_seq: int):
     """Returns the list of consistent loop-candidate kf ids (may be empty),
     best accumulated BoW score first. Mirrors the reference gates: >=10
-    keyframes since the last loop, min-score vs covisible neighbors,
-    shared-word + accumulated-score candidates, 3-consecutive-group
-    consistency."""
-    from ..bow import database as db_mod
-
+    keyframes since the last loop (`src/LoopClosing.cc:149-158` — the early
+    return leaves mvConsistentGroups untouched), min-score vs covisible
+    neighbors, shared-word + accumulated-score candidates, 3-consecutive-
+    group consistency."""
     if kf_seq - state.last_loop_kf_seq < cfg.loop_kf_gap:
         return []
-
-    # minScore: lowest BoW similarity to the covisibility neighbors
-    covis_row = np.asarray(m.covis[kf_id])
-    neighbors = np.nonzero((covis_row >= cfg.min_covis_weight) &
-                           np.asarray(m.kf_valid))[0]
-    if len(neighbors) == 0:
-        return []
-    scores_all, _ = db_mod.query_scores(db, bow_vec)
-    scores_all = np.asarray(scores_all)
-    min_score = max(float(scores_all[neighbors].min()), 1e-6)
-
-    exclude = np.zeros(m.capacity_kf, bool)
-    exclude[kf_id] = True
-    exclude[neighbors] = True
-    exclude |= covis_row > 0   # all connected KFs excluded
-    cand_mask, acc = db_mod.detect_candidates(
-        db, bow_vec, jnp.asarray(exclude), min_score, m.covis)
-    cand_ids = np.nonzero(np.asarray(cand_mask))[0]
-    if len(cand_ids) == 0:
-        state.consistent_groups = []
-        return []
-
-    # consistency groups: each candidate's group = itself + covis neighbors;
-    # count consecutive detections sharing a member (th = 3). ALL candidates
-    # passing the consistency gate are returned, best accumulated score first
-    # (the reference iterates mvpEnoughConsistentCandidates through ComputeSim3
-    # until one closes, src/LoopClosing.cc:331-466).
-    covis_np = np.asarray(m.covis)
-    acc_np = np.asarray(acc)
-    new_groups = []
-    consistent = []
-    for c in cand_ids:
-        group = set(np.nonzero(covis_np[c] > 0)[0].tolist()) | {int(c)}
-        consistency = 0
-        for prev_group, prev_cons in state.consistent_groups:
-            if group & prev_group:
-                consistency = max(consistency, prev_cons + 1)
-        new_groups.append((group, consistency))
-        if consistency >= cfg.covis_consistency_th:
-            consistent.append(int(c))
-    state.consistent_groups = new_groups
-    consistent.sort(key=lambda c: -float(acc_np[c]))
-    return consistent
+    cands = np.asarray(detect_loop_dispatch(cfg, m, db, bow_vec, kf_id, state))
+    return [int(c) for c in cands if c >= 0]
 
 
 def compute_sim3(cfg: SlamConfig, m: mapstate.MapState, kf_id: int,

@@ -40,6 +40,14 @@ def insert_keyframe(cfg: SlamConfig, m: mapstate.MapState, cur: FrameData,
     StereoInitialization case, `src/Tracking.cc:774-860`) every depth
     measurement spawns a point."""
     cam = cfg.camera()
+    # the tracked frame may be pipeline-depth frames old: resolve its
+    # bindings through the fusion-forwarding chain and drop culled points
+    # (CheckReplacedInLastFrame semantics at insertion time)
+    P = m.capacity_pt
+    fwd = jnp.where(matched_pt >= 0,
+                    m.pt_forward[jnp.clip(matched_pt, 0, P - 1)], INVALID)
+    matched_pt = jnp.where((fwd >= 0) & m.pt_valid[jnp.clip(fwd, 0, P - 1)],
+                           fwd, INVALID)
     m, kf_id = mapstate.add_keyframe(
         m, Tcw, cur.xy, cur.level, cur.angle, cur.desc, cur.ur, cur.depth,
         cur.valid, matched_pt, frame_id, timestamp)
@@ -604,6 +612,30 @@ def mapping_pass(cfg: SlamConfig, m: mapstate.MapState, kf_id):
         lambda m: (m, jnp.zeros((m.capacity_kf,), bool)), m)
     m = mapstate.refresh_obs_count(m)
     return m, culled
+
+
+# ---------------------------------------------------------------------------
+# Keyframe event: insertion + the whole mapping pass, ONE dispatch
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(1,))
+def keyframe_pass(cfg: SlamConfig, m: mapstate.MapState, cur: FrameData,
+                  Tcw, matched_pt, frame_id, timestamp):
+    """CreateNewKeyFrame + the complete LocalMapping iteration fused into a
+    single device dispatch, with a packed int32 summary so the host reads
+    everything it needs about the event in ONE transfer:
+
+      summary = [kf_id, n_keyframes, next_kf, any_culled]
+
+    Returns (m, culled (K,) bool, summary (4,) i32). The culled mask is only
+    transferred when summary says any_culled (keyframe culling is rare)."""
+    m, kf_id = insert_keyframe(cfg, m, cur, Tcw, matched_pt, frame_id,
+                               timestamp)
+    m, culled = mapping_pass(cfg, m, kf_id)
+    summary = jnp.stack([
+        jnp.asarray(kf_id, jnp.int32), m.n_keyframes, m.next_kf,
+        jnp.any(culled).astype(jnp.int32)])
+    return m, culled, summary
 
 
 # ---------------------------------------------------------------------------

@@ -50,6 +50,23 @@ class _Pending:
 PENDING = _Pending()
 
 
+_TRUE = None   # cached device-resident True (avoids one transfer per frame)
+
+
+def _true():
+    global _TRUE
+    if _TRUE is None:
+        _TRUE = jnp.asarray(True)
+    return _TRUE
+
+
+def _unpack(pk: np.ndarray):
+    """Split the fused step's (42,) retire payload into
+    (scalars int (10,), Tcw (4,4), T_rel (4,4))."""
+    sc = pk[:10].astype(np.int64)
+    return sc, pk[10:26].reshape(4, 4), pk[26:42].reshape(4, 4)
+
+
 @dataclass
 class TrajectoryEntry:
     timestamp: float
@@ -101,6 +118,14 @@ class SlamSystem:
         self.frame_id = 0
         self.last_kf_frame_id = 0
         self.last_reloc_frame_id = -(1 << 30)
+        self._n_kf_host = None      # host mirror of n_keyframes (lazy)
+        self._kf_seq_host = 0       # host mirror of m.next_kf (loop-gap gate)
+        self._kf_blackout_fid = -1  # stream: frames dispatched before the
+                                    # last KF insertion skip the KF decision
+                                    # (their ref-matches stats predate the
+                                    # map update — the reference equivalently
+                                    # skips NeedNewKeyFrame while the mapper
+                                    # is busy, src/Tracking.cc:1561-1567)
         self.init_frame: Optional[FrameData] = None
         self.trajectory: List[TrajectoryEntry] = []
         self.n_inliers = 0
@@ -183,6 +208,8 @@ class SlamSystem:
             all_depth=True)
         self.ref_kf = int(kf_id)
         self.last_kf_frame_id = self.frame_id
+        self._kf_seq_host += 1
+        self._n_kf_host = None
         self.state = OK
         self._set_last(f, Tcw, self.m.kf_obs[kf_id])
         self.velocity = None
@@ -262,9 +289,13 @@ class SlamSystem:
         self.state = OK
         self.ref_kf = int(kf1)
         self.last_kf_frame_id = self.frame_id
+        self._kf_seq_host += 2
+        self._n_kf_host = None
         Tcw = m.kf_pose[kf1]
         self._set_last(f, Tcw, m.kf_obs[kf1])
         self.velocity = None
+        self._on_keyframe_inserted(int(kf0), ref)
+        self._on_keyframe_inserted(int(kf1), f)
         self._record(self.init_ts, np.eye(4), int(kf0), False)
         self._record(timestamp, np.eye(4), int(kf1), False)
         return np.asarray(Tcw)
@@ -314,7 +345,9 @@ class SlamSystem:
         matched_pt = jnp.asarray(matched_pt)
         self.last_matched_pt = matched_pt
         pos = self.m.pt_pos[jnp.clip(matched_pt, 0, self.m.capacity_pt - 1)]
-        has_pt = matched_pt >= 0
+        # mask bindings whose point was culled/fused away by the mapping pass
+        has_pt = (matched_pt >= 0) & self.m.pt_valid[
+            jnp.clip(matched_pt, 0, self.m.capacity_pt - 1)]
         if self.cfg.sensor != SENSOR_MONOCULAR:
             cam = self.cam
             z = jnp.maximum(f.depth, 1e-6)
@@ -383,7 +416,7 @@ class SlamSystem:
                 jnp.asarray(self.last_Tcw), vel, jnp.asarray(has_vel),
                 jnp.asarray(self.ref_kf), min_inl)
         self.m = res.m
-        sc, Tcw, T_rel = jax.device_get((res.scalars, res.Tcw, res.T_rel))
+        sc, Tcw, T_rel = _unpack(jax.device_get(res.packed))
         ok = bool(sc[0])
         n_local_inl = int(sc[3])
         self.ref_kf = int(sc[8])
@@ -472,8 +505,7 @@ class SlamSystem:
         self._record(timestamp, T_rel, self.ref_kf, False)
         entry = dict(frame=self.frame_id, state="OK",
                      inliers=n_local_inl, kf=bool(need_kf),
-                     n_kf=int(self.m.n_keyframes) if need_kf else None,
-                     n_pts=int(self.m.n_points) if need_kf else None)
+                     n_kf=self._nkf_cache() if need_kf else None)
         if need_kf:
             entry["stage_ms"] = self.stage_ms
         self.metrics.append(entry)
@@ -513,16 +545,14 @@ class SlamSystem:
             ch["mpt"], ch["Tcw"], ch["vel"], ch["has_vel"], ch["ref"],
             min_inl, sensor)
         self.m = res.m
-        for a in (res.scalars, res.Tcw, res.T_rel):
-            try:
-                a.copy_to_host_async()
-            except Exception:
-                pass   # backend without async host copies: retire pays 1 RTT
+        try:
+            res.packed.copy_to_host_async()
+        except Exception:
+            pass   # backend without async host copies: retire pays 1 RTT
         self._chain = dict(
             last=res.frame, pts=res.next_pts, ptsv=res.next_pts_valid,
-            mpt=res.matched_pt, Tcw=res.Tcw,
-            vel=tracking_step.velocity_step(res.Tcw, ch["Tcw"]),
-            has_vel=jnp.asarray(True), ref=res.ref_kf)
+            mpt=res.matched_pt, Tcw=res.Tcw, vel=res.next_vel,
+            has_vel=_true(), ref=res.ref_kf)
         self._pending.append((timestamp, self.frame_id, res))
         self.frame_id += 1
         if len(self._pending) > self.pipeline_depth:
@@ -530,11 +560,12 @@ class SlamSystem:
         return PENDING
 
     def _retire_one(self):
-        """Finish the oldest in-flight frame: read its scalar bundle, run the
+        """Finish the oldest in-flight frame: read its packed payload (one
+        transfer, prefetched with copy_to_host_async at dispatch), run the
         host-side tail of the tracking state machine (KF decision, loop
         closing, trajectory recording). Returns its pose or None if lost."""
         timestamp, fid, res = self._pending.popleft()
-        sc, Tcw, T_rel = jax.device_get((res.scalars, res.Tcw, res.T_rel))
+        sc, Tcw, T_rel = _unpack(jax.device_get(res.packed))
         ok = bool(sc[0])
         n_local = int(sc[3])
         self.ref_kf = int(sc[8])
@@ -576,33 +607,37 @@ class SlamSystem:
             self._ensure_vocabulary(f)
 
         need_kf = (not self.localization_only and
+                   fid >= self._kf_blackout_fid and
                    self._need_kf_from_scalars(sc, fid=fid))
         self._record(timestamp, T_rel, self.ref_kf, False)
-        self.metrics.append(dict(frame=fid, state="OK", inliers=n_local))
         if need_kf:
-            # Insert the keyframe from the NEWEST in-flight frame, not the
-            # (depth)-frames-old retired one: draining first keeps the map
-            # frontier current under fast motion (the reference's
-            # CreateNewKeyFrame also snapshots the CURRENT frame,
-            # src/Tracking.cc:1638). The drained frames record their tracked
-            # poses; no nested KF decisions (the reference likewise skips
-            # NeedNewKeyFrame while the mapper is busy).
-            newest = self._drain_pipeline(record_lost=False)
-            if newest is not None:
-                ts2, fid2, res2, Tcw2 = newest
-            else:
-                ts2, fid2, res2, Tcw2 = timestamp, fid, res, Tcw
+            # Insert the keyframe from the retired frame WITHOUT draining the
+            # pipeline: frames already in flight keep tracking against the
+            # pre-KF snapshot and see the new keyframe `depth` frames late —
+            # exactly the reference's LocalMapping-in-its-own-thread
+            # relaxation (src/LocalMapping.cc:71-159; a tracked frame often
+            # doesn't see the keyframe its predecessor spawned). Their
+            # bindings stay safe across fusion/culling because the tracking
+            # step resolves ids through m.pt_forward. Draining here (the
+            # round-2 design) serialized a device_get per in-flight frame
+            # plus a full chain rebuild on EVERY keyframe and made the
+            # stream slower than the synchronous path.
             Tcw_kf, matched_kf, corrected = self._handle_keyframe(
-                res2.frame, res2.Tcw if newest is not None else Tcw2,
-                res2.matched_pt, fid2, ts2)
-            Tcw_kf = np.asarray(Tcw_kf)
-            self._set_last(res2.frame, Tcw_kf, matched_kf)
-            self._chain = None   # rebuild from post-KF (possibly corrected) state
-            self.metrics.append(dict(frame=fid2, state="OK", kf=True,
+                res.frame, Tcw, res.matched_pt, fid, timestamp)
+            # no KF decisions for frames dispatched before this insertion
+            self._kf_blackout_fid = self.frame_id
+            if corrected:
+                # loop closure / GBA rewrote poses: in-flight frames chained
+                # from stale poses — drain them and rebuild from host state
+                self._drain_pipeline(record_lost=False)
+                self._set_last(res.frame, np.asarray(Tcw_kf), matched_kf)
+                self._chain = None
+            self.metrics.append(dict(frame=fid, state="OK", kf=True,
                                      inliers=n_local,
-                                     n_kf=int(self.m.n_keyframes),
-                                     n_pts=int(self.m.n_points),
+                                     n_kf=self._nkf_cache(),
                                      stage_ms=self.stage_ms))
+        else:
+            self.metrics.append(dict(frame=fid, state="OK", inliers=n_local))
         return Tcw
 
     def _drain_pipeline(self, record_lost: bool):
@@ -613,7 +648,7 @@ class SlamSystem:
         newest = None
         while self._pending:
             ts2, fid2, r2 = self._pending.popleft()
-            sc2, Tcw2, T_rel2 = jax.device_get((r2.scalars, r2.Tcw, r2.T_rel))
+            sc2, Tcw2, T_rel2 = _unpack(jax.device_get(r2.packed))
             ok2 = bool(sc2[0]) and not record_lost
             if ok2:
                 if self.last_Tcw is not None:
@@ -645,21 +680,69 @@ class SlamSystem:
                          timestamp: float):
         """Insert a keyframe from frame `f` at pose `Tcw` and run the full
         per-KF pipeline (mapping pass, loop closing, amortized/periodic GBA).
-        Returns (possibly corrected Tcw, the KF's obs bindings, corrected?)."""
+        Returns (possibly corrected Tcw, the KF's obs bindings, corrected?).
+
+        Host-transfer budget: ONE device_get for the whole event (the fused
+        keyframe_pass summary + the loop-candidate list), plus rare extras
+        when a keyframe was actually culled or a loop candidate passes the
+        consistency gate (compute_sim3 is host-sequenced)."""
         cfg = self.cfg
         t_kf0 = time.time()
-        self.m, kf_id = mapping_ops.insert_keyframe(
-            cfg, self.m, f, jnp.asarray(Tcw), matched_pt, fid, timestamp)
-        self.ref_kf = int(kf_id)
+        self.m, culled, summary = mapping_ops.keyframe_pass(
+            cfg, self.m, f, jnp.asarray(Tcw), jnp.asarray(matched_pt),
+            fid, timestamp)
         self.last_kf_frame_id = fid
-        matched_pt = self.m.kf_obs[kf_id]
+        self._kf_seq_host += 1
+        kf_seq = self._kf_seq_host
         loops_before = self.n_loops_closed
-        t_map0 = time.time()
-        self._local_mapping_pass(int(kf_id))
+        # place-recognition dispatches (still no host sync)
+        self._ensure_vocabulary(f)
+        cands_dev = None
+        if self.voc is not None:
+            vec = self._bow_vec(f.desc, f.valid)
+            self.db = self.db.add(summary[0], vec)
+            if (self.enable_loop_closing and
+                    kf_seq - self.loop_state.last_loop_kf_seq >=
+                    cfg.loop_kf_gap):
+                cands_dev = loop_closing.detect_loop_dispatch(
+                    cfg, self.m, self.db, vec, summary[0], self.loop_state)
+        # the ONE per-keyframe host transfer
+        if cands_dev is not None:
+            summary_h, cands_h = jax.device_get((summary, cands_dev))
+        else:
+            summary_h, cands_h = jax.device_get(summary), []
+        kf_id = int(summary_h[0])
+        self._n_kf_host = int(summary_h[1])
+        self.ref_kf = kf_id
+        if int(summary_h[3]):        # a keyframe was culled (rare)
+            culled_h = np.asarray(culled)
+            if self.db is not None:
+                self.db = self.db.erase(jnp.asarray(culled_h))
+            self._rehome_trajectory(culled_h)
+        matched_pt = self.m.kf_obs[kf_id]
         t_loop0 = time.time()
-        self._on_keyframe_inserted(int(kf_id), f)
-        self.stage_ms = {"insert": (t_map0 - t_kf0) * 1e3,
-                         "mapping": (t_loop0 - t_map0) * 1e3,
+        for cand in [int(c) for c in cands_h if c >= 0]:
+            # try every consistent candidate until one passes ComputeSim3
+            # (the reference iterates mvpEnoughConsistentCandidates,
+            # src/LoopClosing.cc:331-466)
+            ok, Scm, n_inl = loop_closing.compute_sim3(
+                cfg, self.m, kf_id, cand)
+            if not ok:
+                continue
+            amortize = cfg.gba_async_chunks > 0
+            self.m = loop_closing.correct_loop(
+                cfg, self.m, kf_id, cand, Scm, mesh=self.gba_mesh,
+                run_gba=not amortize)
+            if amortize:
+                # P5: spread the GBA over the next N keyframe insertions;
+                # discarding chunks pending from an older loop is the
+                # reference's mbStopGBA abort (src/LoopClosing.cc:559-572)
+                self._gba_chunks_left = cfg.gba_async_chunks
+            self.loop_state.last_loop_kf_seq = kf_seq
+            self.n_loops_closed += 1
+            self._kfs_since_gba = 0  # loop correction just ran a GBA
+            break
+        self.stage_ms = {"mapping": (t_loop0 - t_kf0) * 1e3,
                          "loop": (time.time() - t_loop0) * 1e3}
         gba_chunk_ran = False
         if (self.n_loops_closed == loops_before and
@@ -715,8 +798,9 @@ class SlamSystem:
         return bool((c1a or c1b or c1c) and c2)
 
     def _nkf_cache(self) -> int:
-        # host-tracked keyframe count (avoids a device read per frame)
-        if not hasattr(self, "_n_kf_host"):
+        # host-tracked keyframe count (avoids a device read per frame);
+        # refreshed from the keyframe_pass summary and at initialization
+        if self._n_kf_host is None:
             self._n_kf_host = int(self.m.n_keyframes)
         return self._n_kf_host
 
@@ -770,6 +854,9 @@ class SlamSystem:
         self.last_reloc_frame_id = -(1 << 30)
         self.trajectory = []
         self._kfs_since_gba = 0
+        self._kf_seq_host = 0
+        self._kf_blackout_fid = -1
+        self._n_kf_host = None
         self._pending.clear()   # in-flight stream results reference the old map
         self._chain = None
 
@@ -842,38 +929,15 @@ class SlamSystem:
         return bow_voc.bow_sparse(word, weight)
 
     def _on_keyframe_inserted(self, kf_id: int, f: FrameData):
+        """Initialization-path bookkeeping: train/apply the vocabulary and
+        register the new keyframe in the place-recognition DB (loop detection
+        proper is gap-gated off this early; steady-state keyframes go through
+        `_handle_keyframe`, which folds detection into its one transfer)."""
         self._ensure_vocabulary(f)
         if self.voc is None:
             return
         vec = self._bow_vec(f.desc, f.valid)
         self.db = self.db.add(kf_id, vec)
-        if not self.enable_loop_closing:
-            return
-        kf_seq = int(self.m.next_kf)
-        cands = loop_closing.detect_loop(
-            self.cfg, self.m, self.db, vec, kf_id, self.loop_state, kf_seq)
-        # try every consistent candidate until one passes ComputeSim3 (the
-        # reference iterates mvpEnoughConsistentCandidates,
-        # src/LoopClosing.cc:331-466) — one bad best-scoring candidate must
-        # not kill a closable loop
-        for cand in cands:
-            ok, Scm, n_inl = loop_closing.compute_sim3(
-                self.cfg, self.m, kf_id, cand)
-            if not ok:
-                continue
-            amortize = self.cfg.gba_async_chunks > 0
-            self.m = loop_closing.correct_loop(
-                self.cfg, self.m, kf_id, cand, Scm, mesh=self.gba_mesh,
-                run_gba=not amortize)
-            if amortize:
-                # P5: spread the GBA over the next N keyframe insertions;
-                # discarding any chunks pending from an older loop is the
-                # reference's mbStopGBA abort (src/LoopClosing.cc:559-572)
-                self._gba_chunks_left = self.cfg.gba_async_chunks
-            self.loop_state.last_loop_kf_seq = kf_seq
-            self.n_loops_closed += 1
-            self._kfs_since_gba = 0      # loop correction just ran a GBA
-            return
 
     def _relocalize(self, f: FrameData):
         """Tracking::Relocalization (src/Tracking.cc:2039-2262): BoW
@@ -936,20 +1000,8 @@ class SlamSystem:
         return None, None, None, False
 
     # ------------------------------------------------------------------
-    # Local mapping pass (synchronous, per keyframe)
+    # Trajectory bookkeeping under keyframe culling
     # ------------------------------------------------------------------
-
-    def _local_mapping_pass(self, kf_id: int):
-        """One fused dispatch for the whole per-KF mapping iteration
-        (mapping_ops.mapping_pass); only the culled-KF mask comes back to
-        the host (database erase + trajectory bad-ref bookkeeping)."""
-        self.m, culled = mapping_ops.mapping_pass(self.cfg, self.m,
-                                                  jnp.asarray(kf_id))
-        if bool(jnp.any(culled)):
-            if self.db is not None:
-                self.db = self.db.erase(culled)
-            self._rehome_trajectory(np.asarray(culled))
-        self._n_kf_host = int(self.m.n_keyframes)
 
     def _rehome_trajectory(self, culled: np.ndarray):
         """When a keyframe is culled its slot may be reused and its stored

@@ -45,6 +45,13 @@ class TrackStepResult(NamedTuple):
                                #  pose_ok (motion/ref track succeeded, before
                                #  the local-map inlier gate — the host's
                                #  localization-mode VO fallback reads this)]
+    packed: jnp.ndarray        # (42,) f32 = [scalars (10), Tcw.ravel (16),
+                               #  T_rel.ravel (16)] — the retire payload read
+                               #  with ONE host transfer per frame (three
+                               #  separate device_gets each paid a tunnel RTT)
+    next_vel: jnp.ndarray      # (4,4) motion model for the NEXT frame
+                               # (velocity_step folded in: saves the pipelined
+                               #  stream a separate per-frame dispatch)
 
 
 @jax.jit
@@ -126,6 +133,16 @@ def _step(cfg: SlamConfig, m: mapstate.MapState, cur: FrameData,
           ref_kf_in, min_local_inliers) -> TrackStepResult:
     cam = cfg.camera()
     N = cur.xy.shape[0]
+    P = m.capacity_pt
+    # CheckReplacedInLastFrame (src/Tracking.cc:1135-1163): last-frame
+    # bindings may reference points fused away (or culled) by a mapping pass
+    # that ran after that frame was tracked — resolve through the forwarding
+    # chain, then drop ids that no longer exist. The 3D position snapshot in
+    # last_pts stays usable either way (a fused pair is co-located).
+    lmp = jnp.where(last_matched_pt >= 0,
+                    m.pt_forward[jnp.clip(last_matched_pt, 0, P - 1)], INVALID)
+    last_matched_pt = jnp.where(
+        (lmp >= 0) & m.pt_valid[jnp.clip(lmp, 0, P - 1)], lmp, INVALID)
     T_pred = jnp.where(has_velocity, velocity @ T_last, T_last)
     th1 = 15.0 if cfg.sensor == SENSOR_MONOCULAR else 7.0
 
@@ -205,7 +222,11 @@ def _step(cfg: SlamConfig, m: mapstate.MapState, cur: FrameData,
         (~mm_ok).astype(jnp.int32), ref_kf.astype(jnp.int32),
         ok_1.astype(jnp.int32)])
     T_rel = Tcw_2 @ se3.inverse(m.kf_pose[jnp.clip(ref_kf, 0, m.capacity_kf - 1)])
+    packed = jnp.concatenate([scalars.astype(jnp.float32),
+                              Tcw_2.reshape(-1), T_rel.reshape(-1)])
+    next_vel = velocity_step(Tcw_2, T_last)
     return TrackStepResult(m=m, frame=cur, Tcw=Tcw_2, T_rel=T_rel,
                            matched_pt=matched_2,
                            next_pts=pos, next_pts_valid=next_valid,
-                           ref_kf=ref_kf, scalars=scalars)
+                           ref_kf=ref_kf, scalars=scalars, packed=packed,
+                           next_vel=next_vel)

@@ -38,6 +38,9 @@ def load_map(path: str):
         fields["loop_edges"] = jnp.full((32, 2), -1, jnp.int32)
     if "pt_obs_cnt" not in fields:
         fields["pt_obs_cnt"] = jnp.zeros(fields["pt_valid"].shape, jnp.int32)
+    if "pt_forward" not in fields:
+        fields["pt_forward"] = jnp.arange(fields["pt_valid"].shape[0],
+                                          dtype=jnp.int32)
     m = MapState(**fields)
     if "pt_obs_cnt" not in {k[4:] for k in data.files if k.startswith("map_")}:
         from ..mapstate.map import refresh_obs_count
