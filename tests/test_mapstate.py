@@ -144,6 +144,83 @@ class TestMapState:
         assert (obs0 == s[0]).sum() == 1
         assert int(m.kf_obs[1, 5]) == s[0]
 
+    def test_replace_forwarding_chain(self, rng):
+        """CheckReplacedInLastFrame parity (src/Tracking.cc:1135-1163): ids
+        handed out before a fusion pass must resolve to the survivor through
+        pt_forward, including across chained replacements; reallocating a
+        freed slot resets its redirect."""
+        m = mapstate.empty(K, P, N)
+        m, k0 = add_kf(m, rng, frame_id=0)
+        slots = mapstate.allocate_points(m, jnp.ones(3, dtype=bool))
+        pos = rng.normal(size=(3, 3)).astype(np.float32)
+        desc = rng.integers(0, 2**32, size=(3, 8), dtype=np.uint32)
+        m = mapstate.add_points(m, slots, jnp.asarray(pos), jnp.asarray(desc),
+                                k0, k0)
+        s = np.asarray(slots)
+        # replace s1 -> s0
+        mapping = np.arange(P, dtype=np.int32)
+        mapping[s[1]] = s[0]
+        m = mapstate.replace_points(m, jnp.asarray(mapping))
+        assert int(m.pt_forward[s[1]]) == s[0]
+        # then s0 -> s2: an old binding to s1 must now resolve to s2
+        mapping = np.arange(P, dtype=np.int32)
+        mapping[s[0]] = s[2]
+        m = mapstate.replace_points(m, jnp.asarray(mapping))
+        assert int(m.pt_forward[s[1]]) == s[2]
+        assert int(m.pt_forward[s[0]]) == s[2]
+        # reallocate: the freed slot s[0] comes back as a fresh point with an
+        # identity redirect
+        slots2 = mapstate.allocate_points(m, jnp.ones(1, dtype=bool))
+        m = mapstate.add_points(m, slots2, jnp.asarray(pos[:1]),
+                                jnp.asarray(desc[:1]), k0, k0)
+        s2 = int(np.asarray(slots2)[0])
+        assert int(m.pt_forward[s2]) == s2
+
+    def test_insert_keyframe_resolves_stale_bindings(self, rng):
+        """A pipelined frame's matched ids may reference points fused away by
+        the time its keyframe is inserted: insert_keyframe must bind the
+        survivor and drop culled ids."""
+        from orb_slam2_tpu.pipeline import mapping_ops
+        from orb_slam2_tpu.pipeline.frame import FrameData
+        from orb_slam2_tpu.utils.config import SlamConfig, SENSOR_RGBD
+
+        cfg = SlamConfig(fx=100.0, fy=100.0, cx=160.0, cy=120.0, width=320,
+                         height=240, n_features=N, bf=25.0,
+                         sensor=SENSOR_RGBD, th_depth=40.0, max_keyframes=K,
+                         max_map_points=P)
+        m = mapstate.empty(K, P, N)
+        m, k0 = add_kf(m, rng, frame_id=0)
+        slots = mapstate.allocate_points(m, jnp.ones(3, dtype=bool))
+        pos = np.asarray([[0, 0, 5.0], [0.1, 0, 5.0], [0, 0.1, 5.0]],
+                         np.float32)
+        desc = rng.integers(0, 2**32, size=(3, 8), dtype=np.uint32)
+        m = mapstate.add_points(m, slots, jnp.asarray(pos), jnp.asarray(desc),
+                                k0, k0)
+        s = np.asarray(slots)
+        mapping = np.arange(P, dtype=np.int32)
+        mapping[s[1]] = s[0]                      # fuse s1 into s0
+        m = mapstate.replace_points(m, jnp.asarray(mapping))
+        kill = np.zeros(P, bool)
+        kill[s[2]] = True                         # cull s2
+        m = mapstate.erase_points(m, jnp.asarray(kill))
+
+        f = blank_frame(rng)
+        fd = FrameData(xy=jnp.asarray(f["xy"]), xy_raw=jnp.asarray(f["xy"]),
+                       level=jnp.asarray(f["level"]),
+                       angle=jnp.asarray(f["angle"]),
+                       response=jnp.zeros(N, jnp.float32),
+                       desc=jnp.asarray(f["desc"]),
+                       valid=jnp.asarray(f["feat_valid"]),
+                       ur=jnp.asarray(f["ur"]), depth=jnp.asarray(f["depth"]))
+        matched = np.full(N, -1, np.int32)
+        matched[0] = s[1]                         # stale: replaced id
+        matched[1] = s[2]                         # stale: culled id
+        m2, kf_id = mapping_ops.insert_keyframe(
+            cfg, m, fd, jnp.eye(4), jnp.asarray(matched), 1, 1.0)
+        row = np.asarray(m2.kf_obs[int(kf_id)])
+        assert row[0] == s[0], "replaced id must bind the survivor"
+        assert row[1] == -1, "culled id must not resurrect"
+
     def test_update_descriptors_and_normals(self, rng):
         m = mapstate.empty(K, P, N)
         pose0 = np.eye(4, dtype=np.float32)

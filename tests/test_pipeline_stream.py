@@ -30,6 +30,17 @@ def _cfg():
                       max_local_keyframes=32, max_local_points=1 << 12)
 
 
+def _run(cfg, frames, depth):
+    s = SlamSystem(cfg, enable_loop_closing=False, pipeline_depth=depth)
+    n_pending = 0
+    for i, (img, d) in enumerate(frames):
+        out = s.track_rgbd(img, d, i / cfg.fps)
+        if out is PENDING:
+            n_pending += 1
+    s.flush()
+    return s, n_pending
+
+
 @pytest.mark.slow
 def test_stream_matches_synchronous_accuracy():
     cfg = _cfg()
@@ -37,22 +48,26 @@ def test_stream_matches_synchronous_accuracy():
     gt = lateral_trajectory(40, step=0.05)
     frames = [world.render_with_depth(T) for T in gt]
 
-    s = SlamSystem(cfg, enable_loop_closing=False, pipeline_depth=2)
-    n_pending = 0
-    for i, (img, d) in enumerate(frames):
-        out = s.track_rgbd(img, d, i / cfg.fps)
-        if out is PENDING:
-            n_pending += 1
-    s.flush()
+    def ate_of(s):
+        traj = s.get_trajectory()
+        assert len(traj) >= 0.95 * len(gt), f"tracked {len(traj)}/{len(gt)}"
+        est = [T for _, T in traj]
+        gtp = [gt[int(round(ts * cfg.fps))] for ts, _ in traj]
+        return ate_rmse(est, gtp)
+
+    # the synchronous reference run on the SAME sequence (ADVICE r2: the
+    # comparison must be measured, not a hardcoded comment)
+    s_sync, _ = _run(cfg, frames, depth=0)
+    rmse_sync = ate_of(s_sync)
+    assert rmse_sync < 0.05, f"sync ATE {rmse_sync*100:.1f} cm"
+
+    s, n_pending = _run(cfg, frames, depth=2)
     # the first `depth` streamed frames return PENDING (still in flight)
     assert n_pending >= 1
-    traj = s.get_trajectory()
-    assert len(traj) >= 0.95 * len(gt), f"tracked {len(traj)}/{len(gt)}"
-    est = [T for _, T in traj]
-    gtp = [gt[int(round(ts * cfg.fps))] for ts, _ in traj]
-    rmse = ate_rmse(est, gtp)
-    # synchronous path measures ~1.6 cm on this sequence; before the pose
-    # orthonormalization fix the stream measured 92 cm here
+    rmse = ate_of(s)
+    # before the pose orthonormalization fix the stream measured 92 cm here
     assert rmse < 0.05, f"stream ATE {rmse*100:.1f} cm"
-    # KF policy must not fire late: sync inserts 3 KFs on this sequence
-    assert int(s.m.n_keyframes) <= 5
+    assert rmse < max(3.0 * rmse_sync, 0.03), \
+        f"stream ATE {rmse*100:.1f} cm vs sync {rmse_sync*100:.1f} cm"
+    # KF policy must not fire late vs the sync run's natural policy
+    assert int(s.m.n_keyframes) <= int(s_sync.m.n_keyframes) + 2
