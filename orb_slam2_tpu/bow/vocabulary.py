@@ -135,6 +135,47 @@ def build_vocabulary(descriptors: np.ndarray, k: int = 10, depth: int = 4,
         n_words=len(leaves))
 
 
+def synth_vocabulary(k: int = 10, depth: int = 6, seed: int = 0,
+                     device=None) -> Vocabulary:
+    """Synthesize a COMPLETE k-ary tree at the reference ORBvoc scale
+    (k=10, depth=6 -> 10^6 leaf words, 1,111,111 nodes — `src/System.cc:58-77`
+    loads exactly this shape). Centroids are random descriptors and weights
+    random idf values: structurally and computationally identical to the real
+    vocabulary for transform/DB purposes (same tree descent, same memory
+    layout, same sparse-row sizes), without shipping the 140MB ORBvoc.txt.
+
+    Built with vectorized numpy (no per-node loop: the BFS child layout of a
+    complete k-ary tree is arithmetic)."""
+    rng = np.random.default_rng(seed)
+    level_sizes = [k ** (l + 1) for l in range(depth)]
+    n_nodes = 1 + sum(level_sizes)
+    # BFS layout: level l starts at off[l]; node p of level l has children
+    # at off[l+1] + p*k .. +k-1
+    off = np.zeros(depth + 1, np.int64)
+    off[0] = 0
+    for l in range(depth):
+        off[l + 1] = off[l] + (1 if l == 0 else level_sizes[l - 1])
+    children = np.full((n_nodes, k), -1, np.int32)
+    for l in range(depth):
+        n_par = 1 if l == 0 else level_sizes[l - 1]
+        par = np.arange(off[l], off[l] + n_par)
+        base = off[l + 1] + np.arange(n_par)[:, None] * k
+        children[par] = (base + np.arange(k)[None, :]).astype(np.int32)
+    centroids = rng.integers(0, 2 ** 32, size=(n_nodes, 8), dtype=np.uint64
+                             ).astype(np.uint32)
+    word_id = np.full(n_nodes, -1, np.int32)
+    n_words = level_sizes[-1]
+    word_id[off[depth]:] = np.arange(n_words, dtype=np.int32)
+    weights = np.zeros(n_nodes, np.float32)
+    weights[off[depth]:] = rng.uniform(0.1, 4.0, n_words).astype(np.float32)
+    put = (lambda x: jax.device_put(x, device)) if device is not None \
+        else jnp.asarray
+    return Vocabulary(
+        k=k, depth=depth, children=put(children), centroids=put(centroids),
+        node_valid=put(np.ones(n_nodes, bool)), word_id=put(word_id),
+        word_weight=put(weights), n_words=n_words)
+
+
 def save_npz(voc: Vocabulary, path: str):
     """Cache a vocabulary as npz (the 1M-word ORBvoc.txt takes minutes to
     parse; convert once — the reference pays the text-load cost every run,

@@ -150,7 +150,19 @@ class PlateWorld(PlaneWorld):
         best_z = np.full_like(t, self.z0)
         best_ox = np.zeros_like(t)
         best_oy = np.zeros_like(t)
-        for b in range(len(self.pz)):
+        # frustum cull: a plate sits between the camera and the ground, so
+        # every plate hit's x-y lies inside the ground-hit bbox expanded to
+        # include the camera footprint — skip plates that can't intersect it
+        # (renders ~10-20 of n_plates per frame instead of all of them)
+        gx = x[ok] if ok.any() else np.array([c[0]])
+        gy = y[ok] if ok.any() else np.array([c[1]])
+        x_lo = min(gx.min(), c[0]) - 0.1
+        x_hi = max(gx.max(), c[0]) + 0.1
+        y_lo = min(gy.min(), c[1]) - 0.1
+        y_hi = max(gy.max(), c[1]) + 0.1
+        visible = np.nonzero((self.px1 >= x_lo) & (self.px0 <= x_hi) &
+                             (self.py1 >= y_lo) & (self.py0 <= y_hi))[0]
+        for b in visible:
             t, x, y = hit_plane(self.pz[b])
             ok = (t > 0) & (t < best_t) & \
                 (x >= self.px0[b]) & (x <= self.px1[b]) & \
@@ -254,6 +266,39 @@ def loop_trajectory(n_frames, radius=3.0, overshoot=0.3):
         a = total * i / n_frames
         T = np.eye(4)
         T[:3, 3] = [radius * np.cos(a) - radius, radius * np.sin(a), 0.0]
+        poses.append(T)
+    return poses
+
+
+def forward_trajectory(n_frames, speed=0.12, curve_period=400.0,
+                       curve_amp=0.8, close_loop=False):
+    """KITTI-00-flavored forward motion over the plane world: the camera
+    drives a long meandering path at constant speed with smooth heading
+    changes, and ROTATES about its optical axis to face the direction of
+    travel (for a plane-facing camera, path curvature appears as in-image
+    rotation — exercising the rotation-histogram checks the way car yaw does
+    on KITTI). With close_loop the heading curvature is set so the path
+    returns near its start in the final ~15% of frames (one big loop, like
+    KITTI 00's drive around the block)."""
+    poses = []
+    x, y = 0.0, 0.0
+    heading = 0.0
+    for i in range(n_frames):
+        if close_loop:
+            # constant curvature closes a circle over the run + small wiggle
+            dh = 2.0 * np.pi / (0.9 * n_frames) + \
+                0.002 * np.sin(2 * np.pi * i / 97.0)
+        else:
+            dh = (curve_amp / curve_period) * np.sin(
+                2 * np.pi * i / curve_period)
+        heading += dh
+        x += speed * np.cos(heading)
+        y += speed * np.sin(heading)
+        ch, sh = np.cos(heading), np.sin(heading)
+        T = np.eye(4)
+        # in-plane rotation about the optical (z) axis = vehicle yaw
+        T[:3, :3] = np.array([[ch, -sh, 0.0], [sh, ch, 0.0], [0.0, 0.0, 1.0]])
+        T[:3, 3] = [x, y, 0.02 * np.sin(i * 0.13)]
         poses.append(T)
     return poses
 

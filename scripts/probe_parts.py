@@ -69,7 +69,7 @@ def main():
            lambda r: r.xy[0])
 
     Tl = jnp.asarray(np.asarray(s.last_Tcw, np.float32))
-    vel = jnp.asarray(np.eye(4, np.float32))
+    vel = jnp.asarray(np.eye(4, dtype=np.float32))
     mpt = jnp.asarray(s.last_matched_pt)
 
     timeit("full tracking step (fused, from images)",
