@@ -72,10 +72,11 @@ def main():
     vel = jnp.asarray(np.eye(4, dtype=np.float32))
     mpt = jnp.asarray(s.last_matched_pt)
 
+    # the step donates m -> hand it a fresh copy per call
     timeit("full tracking step (fused, from images)",
            lambda: tracking_step.full_tracking_step_from_images(
-               cfg, m, frames[31], s.last_frame, s.last_pts, s.last_pts_valid,
-               mpt, Tl, vel, jnp.asarray(False),
+               cfg, jax.tree.map(jnp.copy, m), frames[31], s.last_frame,
+               s.last_pts, s.last_pts_valid, mpt, Tl, vel, jnp.asarray(False),
                jnp.asarray(s.ref_kf, jnp.int32), 30, "rgbd"),
            lambda r: r.packed)
 
