@@ -3,17 +3,22 @@
 No real datasets are reachable from this machine (zero egress), so this is
 the accuracy benchmark standing in for TUM/KITTI (VERDICT r1 missing #1): a
 PlateWorld relief scene under an ImperfectCamera (exposure hunting, pixel
-noise, vignetting), two trajectories:
+noise, vignetting), trajectories:
 
   survey : 500-frame lawn-mower raster, no revisit -> open-loop drift
   loop   : 360-frame circular survey with revisit -> loop-closure accuracy
+  mono-loop : the same revisit sequence monocular -> 7-DoF loop correction
+  long   : 1000+-frame forward-motion drive closing one big loop
+           (KITTI-00-flavored; exercises capacity paths: DB erase,
+           trajectory rehoming, covisibility at scale) [--long]
 
 Run (TPU, default env):
-  PYTHONPATH=/root/repo:/root/.axon_site python -u examples/eval_synthetic_hard.py
+  PYTHONPATH=/root/repo:/root/.axon_site python -u examples/eval_synthetic_hard.py --json EVAL_results.json
 CPU (slow, smaller):
   env JAX_PLATFORMS=cpu PALLAS_AXON_POOL_IPS= python examples/eval_synthetic_hard.py --small
 """
 import argparse
+import json
 import os
 import sys
 import time
@@ -23,12 +28,14 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def run_sequence(cfg, world_cam, gt, sensor, label, enable_loops=True):
+def run_sequence(cfg, world_cam, gt, sensor, label, enable_loops=True,
+                 pipeline_depth=0):
     import jax.numpy as jnp
     from orb_slam2_tpu.pipeline.system import SlamSystem
     from orb_slam2_tpu.utils.synthetic import ate_rmse
 
-    s = SlamSystem(cfg, enable_loop_closing=enable_loops)
+    s = SlamSystem(cfg, enable_loop_closing=enable_loops,
+                   pipeline_depth=pipeline_depth)
     t0 = time.time()
     lost = 0
     for i, T in enumerate(gt):
@@ -40,8 +47,9 @@ def run_sequence(cfg, world_cam, gt, sensor, label, enable_loops=True):
         if Tcw is None:
             lost += 1
         if i % 50 == 0:
-            print(f"  [{label}] frame {i}/{len(gt)} kf={int(s.m.n_keyframes)} "
-                  f"pts={int(s.m.n_points)} lost={lost}", flush=True)
+            print(f"  [{label}] frame {i}/{len(gt)} kf={s.get_map_stats()['n_keyframes']} "
+                  f"lost={lost} ({time.time()-t0:.0f}s)", flush=True)
+    s.flush()
     wall = time.time() - t0
 
     traj = s.get_trajectory()
@@ -53,11 +61,13 @@ def run_sequence(cfg, world_cam, gt, sensor, label, enable_loops=True):
                    for i in range(len(gt) - 1))
     res = dict(label=label, frames=len(gt), tracked=len(est), lost=lost,
                kf=int(s.m.n_keyframes), pts=int(s.m.n_points),
+               kf_seq_total=s._kf_seq_host,
                loops=s.n_loops_closed, ate_cm=rmse * 100,
-               path_m=path_len, wall_s=wall)
+               path_m=path_len, wall_s=wall,
+               ms_per_frame=wall / len(gt) * 1e3)
     print(f"  [{label}] ATE {rmse*100:.1f} cm over {path_len:.1f} m, "
-          f"kf={res['kf']} loops={res['loops']} lost={lost} "
-          f"({wall:.0f}s)", flush=True)
+          f"kf={res['kf']} (inserted {res['kf_seq_total']}) "
+          f"loops={res['loops']} lost={lost} ({wall:.0f}s)", flush=True)
     return res
 
 
@@ -67,30 +77,36 @@ def main():
                     help="reduced size for CPU smoke runs")
     ap.add_argument("--skip-survey", action="store_true")
     ap.add_argument("--skip-loop", action="store_true")
+    ap.add_argument("--skip-mono", action="store_true")
+    ap.add_argument("--long", action="store_true",
+                    help="also run the 1000+-frame forward-motion loop drive")
+    ap.add_argument("--json", default=None, help="write results as JSON")
     args = ap.parse_args()
 
     import jax
     jax.config.update("jax_compilation_cache_dir", "/root/jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
-    from orb_slam2_tpu.utils.config import SlamConfig, SENSOR_RGBD
+    from orb_slam2_tpu.utils.config import (SlamConfig, SENSOR_RGBD,
+                                            SENSOR_MONOCULAR)
     from orb_slam2_tpu.utils.synthetic import (
-        PlateWorld, ImperfectCamera, survey_trajectory, loop_trajectory)
+        PlateWorld, ImperfectCamera, survey_trajectory, loop_trajectory,
+        forward_trajectory)
 
     if args.small:
         W, H, fx, nf = 320, 240, 260.0, 600
-        n_survey, n_loop = 160, 110
+        n_survey, n_loop, n_long = 160, 110, 400
         kw = dict(max_keyframes=128, max_map_points=1 << 14)
     else:
         W, H, fx, nf = 640, 480, 517.3, 1000
-        n_survey, n_loop = 500, 360
+        n_survey, n_loop, n_long = 500, 360, 1200
         kw = dict()
     cx, cy = W / 2, H / 2
     baseline = 0.25
     cfg = SlamConfig(fx=fx, fy=fx, cx=cx, cy=cy, width=W, height=H,
                      bf=fx * baseline, sensor=SENSOR_RGBD, fps=30.0,
                      th_depth=40.0, n_features=nf, use_pallas=not args.small,
-                     **kw)
+                     gba_async_chunks=4, **kw)
 
     results = []
     if not args.skip_survey:
@@ -106,11 +122,33 @@ def main():
         gt = loop_trajectory(n_loop, radius=3.0)
         results.append(run_sequence(cfg, cam, gt, "rgbd", "loop-rgbd",
                                     enable_loops=True))
+    if not args.skip_mono:
+        import dataclasses
+        cfg_m = dataclasses.replace(cfg, sensor=SENSOR_MONOCULAR, bf=0.0)
+        world = PlateWorld(fx, fx, cx, cy, W, H, z0=5.0)
+        cam = ImperfectCamera(world, noise_sigma=2.0)
+        gt = loop_trajectory(n_loop, radius=3.0)
+        results.append(run_sequence(cfg_m, cam, gt, "mono", "loop-mono",
+                                    enable_loops=True))
+    if args.long:
+        # KITTI-00-scale drive: one big loop, hundreds of keyframes —
+        # exercises DB erase, trajectory rehoming, covisibility and the
+        # K-capacity guard (VERDICT r2 missing #5)
+        world = PlateWorld(fx, fx, cx, cy, W, H, z0=5.0, extent=30.0,
+                           n_plates=900, seed=11)
+        cam = ImperfectCamera(world)
+        gt = forward_trajectory(n_long, speed=0.12, close_loop=True)
+        results.append(run_sequence(cfg, cam, gt, "rgbd", "long-forward-rgbd",
+                                    enable_loops=True))
 
     print("\n== summary ==")
     for r in results:
-        print(f"{r['label']:14s} ATE {r['ate_cm']:7.1f} cm  path {r['path_m']:6.1f} m  "
+        print(f"{r['label']:18s} ATE {r['ate_cm']:7.1f} cm  path {r['path_m']:6.1f} m  "
               f"kf {r['kf']:4d}  loops {r['loops']}  lost {r['lost']}")
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(results, f, indent=1)
+        print(f"wrote {args.json}")
 
 
 if __name__ == "__main__":

@@ -236,14 +236,15 @@ def covisible_keyframes(m: MapState, kf_id, k: int, min_weight: int = 1):
 
 def allocate_points(m: MapState, want_mask):
     """Find free point slots for each True in want_mask (B,). Returns (B,)
-    slot ids (-1 if map full)."""
-    free = ~m.pt_valid
-    free_slots = jnp.argsort(~free)                   # free first
-    n_free = jnp.sum(free.astype(jnp.int32))
+    slot ids (-1 if map full). cumsum+scatter compaction (compact_mask), not
+    an argsort over the P-point capacity."""
+    B = want_mask.shape[0]
+    free_slots, free_ok = compact_mask(~m.pt_valid, B)
+    n_free = jnp.sum(free_ok.astype(jnp.int32))
     order = jnp.cumsum(want_mask.astype(jnp.int32)) - 1   # rank among wanted
     slot = jnp.where(
         want_mask & (order < n_free),
-        free_slots[jnp.clip(order, 0, m.capacity_pt - 1)],
+        free_slots[jnp.clip(order, 0, B - 1)],
         INVALID,
     )
     return slot
@@ -263,9 +264,11 @@ def add_points(m: MapState, slots, pos, desc, ref_kf, first_kf):
         pt_first_kf=upd(m.pt_first_kf, jnp.broadcast_to(first_kf, slots.shape)),
         pt_visible=m.pt_visible.at[si].set(1, mode="drop"),
         pt_found=m.pt_found.at[si].set(1, mode="drop"),
-        # a reallocated slot is a fresh point: clear any old redirect
+        # a reallocated slot is a fresh point: clear any old redirect and
+        # any stale cached observation count
         pt_forward=m.pt_forward.at[si].set(
             jnp.where(ok, slots, 0), mode="drop"),
+        pt_obs_cnt=m.pt_obs_cnt.at[si].set(0, mode="drop"),
         next_pt=m.next_pt + jnp.sum(ok.astype(jnp.int32)),
     )
 
@@ -331,36 +334,78 @@ def replace_points(m: MapState, mapping):
 # Derived point-major views
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("max_obs",))
-def point_observations(m: MapState, max_obs: int = 16):
-    """Build point-major observation lists from kf_obs by sorting the flat
-    incidence: returns (obs_kf, obs_feat, obs_valid), each (P, max_obs).
-    Points with more than max_obs observations keep the first max_obs by
-    (kf, feat) order."""
+@functools.partial(jax.jit, static_argnames=("max_obs", "chunk"))
+def point_observations(m: MapState, max_obs: int = 16, chunk: int = 64):
+    """Build point-major observation lists from kf_obs: returns
+    (obs_kf, obs_feat, obs_valid), each (P, max_obs). Points with more than
+    max_obs observations keep the first max_obs by (kf, feat) order.
+
+    Processed in keyframe CHUNKS with empty chunks skipped at runtime
+    (lax.cond): keyframe slots are allocated lowest-first (add_keyframe's
+    argmin), so a map with V valid keyframes only pays for ceil(V/chunk)
+    chunks. The flat single-sort version sorted + scattered the full K*N
+    incidence (1M entries at K=512/N=2048 — ~76 ms/call on TPU v5e, and it
+    ran several times per keyframe event)."""
     K, N = m.kf_obs.shape
     P = m.capacity_pt
-    flat_pt = m.kf_obs.reshape(-1)
-    flat_kf = jnp.repeat(jnp.arange(K, dtype=jnp.int32), N)
-    flat_ft = jnp.tile(jnp.arange(N, dtype=jnp.int32), K)
-    sort_key = jnp.where(flat_pt >= 0, flat_pt, P)
-    order = jnp.argsort(sort_key, stable=True)
-    sp = sort_key[order]
-    sk = flat_kf[order]
-    sf = flat_ft[order]
-    # position within the segment of equal point id
-    seg_start = jnp.searchsorted(sp, jnp.arange(P), side="left")
-    pos = jnp.arange(K * N) - seg_start[jnp.clip(sp, 0, P - 1)]
-    keep = (sp < P) & (pos < max_obs)
-    ridx = jnp.clip(sp, 0, P - 1)
-    cidx = jnp.clip(pos, 0, max_obs - 1)
-    # masked scatter: rows for dropped entries routed out of range
-    obs_kf = jnp.full((P, max_obs), INVALID, jnp.int32).at[
-        jnp.where(keep, ridx, P), jnp.where(keep, cidx, 0)
-    ].set(sk, mode="drop")
-    obs_ft = jnp.full((P, max_obs), INVALID, jnp.int32).at[
-        jnp.where(keep, ridx, P), jnp.where(keep, cidx, 0)
-    ].set(sf, mode="drop")
+    chunk = min(chunk, K)
+    n_chunks = -(-K // chunk)
+    Kp = n_chunks * chunk
+    kf_obs = m.kf_obs if Kp == K else jnp.concatenate(
+        [m.kf_obs, jnp.full((Kp - K, N), INVALID, jnp.int32)])
+    kf_valid = m.kf_valid if Kp == K else jnp.concatenate(
+        [m.kf_valid, jnp.zeros((Kp - K,), bool)])
+    rows_c = kf_obs.reshape(n_chunks, chunk, N)
+    valid_c = kf_valid.reshape(n_chunks, chunk)
+    k0_c = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
+    CN = chunk * N
+    loc_kf = jnp.repeat(jnp.arange(chunk, dtype=jnp.int32), N)
+    loc_ft = jnp.tile(jnp.arange(N, dtype=jnp.int32), chunk)
+
+    def body(carry, inp):
+        rows, vmask, k0 = inp
+
+        def work(carry):
+            obs_kf, obs_ft, fill = carry
+            flat_pt = rows.reshape(-1)
+            key = jnp.where(flat_pt >= 0, flat_pt, P)
+            order = jnp.argsort(key, stable=True)
+            sp = key[order]
+            sk = (k0 + loc_kf)[order]
+            sf = loc_ft[order]
+            seg_start = jnp.searchsorted(sp, jnp.arange(P), side="left")
+            seg_end = jnp.searchsorted(sp, jnp.arange(P), side="right")
+            base = fill[jnp.clip(sp, 0, P - 1)]
+            pos = jnp.arange(CN) - seg_start[jnp.clip(sp, 0, P - 1)] + base
+            keep = (sp < P) & (pos < max_obs)
+            ridx = jnp.where(keep, sp, P)
+            cidx = jnp.where(keep, jnp.clip(pos, 0, max_obs - 1), 0)
+            obs_kf = obs_kf.at[ridx, cidx].set(sk, mode="drop")
+            obs_ft = obs_ft.at[ridx, cidx].set(sf, mode="drop")
+            fill = fill + (seg_end - seg_start)
+            return obs_kf, obs_ft, fill
+
+        carry = jax.lax.cond(jnp.any(vmask), work, lambda c: c, carry)
+        return carry, ()
+
+    obs_kf0 = jnp.full((P, max_obs), INVALID, jnp.int32)
+    obs_ft0 = jnp.full((P, max_obs), INVALID, jnp.int32)
+    fill0 = jnp.zeros((P,), jnp.int32)
+    (obs_kf, obs_ft, _), _ = jax.lax.scan(
+        body, (obs_kf0, obs_ft0, fill0), (rows_c, valid_c, k0_c))
     return obs_kf, obs_ft, obs_kf >= 0
+
+
+def obs_table_counts(m: MapState, obs) -> jnp.ndarray:
+    """Weighted observation counts (+1 mono / +2 stereo, like nObs) derived
+    from an existing point_observations table — no K*N scatter. Counts
+    saturate at the table width (max_obs), which is above every consumer's
+    threshold (2/3 for culling and keyframe_stats, winner-picking in fusion)."""
+    obs_kf, obs_ft, obs_on = obs
+    kfc = jnp.clip(obs_kf, 0, m.capacity_kf - 1)
+    ftc = jnp.clip(obs_ft, 0, m.n_feat - 1)
+    w = jnp.where(m.kf_ur[kfc, ftc] >= 0, 2, 1)
+    return jnp.sum(jnp.where(obs_on, w, 0), axis=-1).astype(jnp.int32)
 
 
 def compact_mask(mask, size: int):

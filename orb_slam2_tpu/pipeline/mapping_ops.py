@@ -29,10 +29,21 @@ INVALID = -1
 # Keyframe insertion (Tracking::CreateNewKeyFrame, src/Tracking.cc:1638-1739)
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("cfg", "all_depth"))
+def _bump_counts(m: mapstate.MapState, point_ids, mask, weight):
+    """Incrementally add observation weights to the cached pt_obs_cnt (one
+    small N-sized scatter instead of recounting the K*N incidence)."""
+    P = m.capacity_pt
+    add = jnp.zeros((P,), jnp.int32).at[
+        jnp.where(mask, point_ids, P)].add(jnp.where(mask, weight, 0),
+                                           mode="drop")
+    return m._replace(pt_obs_cnt=m.pt_obs_cnt + add)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "all_depth",
+                                             "update_stats"))
 def insert_keyframe(cfg: SlamConfig, m: mapstate.MapState, cur: FrameData,
                     Tcw, matched_pt, frame_id, timestamp,
-                    all_depth: bool = False):
+                    all_depth: bool = False, update_stats: bool = True):
     """Insert the current frame as a keyframe. matched_pt: (N,) map-point ids
     from tracking. For stereo/RGBD, unmatched features with depth spawn new
     map points: all closer than ThDepth*baseline, and if fewer than 100, the
@@ -78,13 +89,20 @@ def insert_keyframe(cfg: SlamConfig, m: mapstate.MapState, cur: FrameData,
                                        slots, create & (slots >= 0))
 
     m = mapstate.update_connections(m, kf_id)
+    # keep the cached counts current (weight +1 mono / +2 stereo per binding)
     bound = m.kf_obs[kf_id]
-    mask = jnp.zeros((m.capacity_pt,), bool).at[
-        jnp.where(bound >= 0, bound, m.capacity_pt)].set(True, mode="drop")
-    obs = mapstate.point_observations(m, 16)
-    m = mapstate.update_point_descriptors(m, mask, obs=obs)
-    m = mapstate.update_point_normals(m, mask, cfg.scale_factors, obs=obs)
-    m = mapstate.refresh_obs_count(m)
+    w = jnp.where(m.kf_ur[kf_id] >= 0, 2, 1)
+    m = _bump_counts(m, jnp.clip(bound, 0, m.capacity_pt - 1), bound >= 0, w)
+    if update_stats:
+        # standalone use (initialization): refresh point stats now. Inside
+        # keyframe_pass this is skipped — the mapping finale refreshes the
+        # same points with the post-fusion observation table.
+        mask = jnp.zeros((m.capacity_pt,), bool).at[
+            jnp.where(bound >= 0, bound, m.capacity_pt)].set(True, mode="drop")
+        obs = mapstate.point_observations(m, 16)
+        m = mapstate.update_point_descriptors(m, mask, obs=obs)
+        m = mapstate.update_point_normals(m, mask, cfg.scale_factors, obs=obs)
+        m = m._replace(pt_obs_cnt=mapstate.obs_table_counts(m, obs))
     return m, kf_id
 
 
@@ -102,7 +120,7 @@ def cull_map_points(cfg: SlamConfig, m: mapstate.MapState):
     recent = m.pt_valid & (age <= 2)
     ratio = m.pt_found.astype(jnp.float32) / jnp.maximum(
         m.pt_visible.astype(jnp.float32), 1.0)
-    cnt = mapstate.count_observations(m)
+    cnt = m.pt_obs_cnt   # cached snapshot (maintained incrementally)
     th_obs = 2 if cfg.sensor == SENSOR_MONOCULAR else 3
     bad = recent & ((ratio < 0.25) | ((age >= 2) & (cnt <= th_obs)))
     return mapstate.erase_points(m, bad)
@@ -124,10 +142,12 @@ def _fundamental_from_poses(cam, T1w, T2w):
     return Kinv.T @ se3.hat(t12) @ R12 @ Kinv
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "max_new"))
-def triangulate_with_neighbor(cfg: SlamConfig, m: mapstate.MapState,
-                              kf1, kf2, max_new: int = 256):
-    """Create new map points between keyframe kf1 (current) and covisible kf2.
+def _triangulate_decide(cfg: SlamConfig, m: mapstate.MapState, kf1, kf2,
+                        max_new: int = 256):
+    """Match/triangulate/check half of CreateNewMapPoints for ONE neighbor,
+    with NO map mutation — vmappable across the covisible neighbor set.
+    Returns (create (N,) bool, X (N,3) world points, i2 (N,) matched feature
+    in kf2, best (N,) match distance).
 
     Epipolar-guided matching of UNBOUND features (the reference restricts via
     BoW buckets; here the full masked matrix with the epipolar test does the
@@ -269,23 +289,44 @@ def triangulate_with_neighbor(cfg: SlamConfig, m: mapstate.MapState,
     order = jnp.argsort(jnp.where(create, best, 1 << 20))
     rank = jnp.zeros((N,), jnp.int32).at[order].set(jnp.arange(N, dtype=jnp.int32))
     create = create & (rank < max_new)
+    return create, X, i2, best
 
+
+def _commit_new_points(cfg: SlamConfig, m: mapstate.MapState, kf1,
+                       nb_ids, create, X, i2, best):
+    """Allocate + write the winning triangulations in ONE batch.
+
+    nb_ids: (B,) neighbor kf per candidate row; create/X/i2/best: (B, ...)
+    stacked decide outputs flattened so that each kf1 FEATURE appears at most
+    once (the caller dedups by winner) — B == N here. Binds kf1 feature i and
+    neighbor feature i2, sets closed-form normals/scale bands, bumps counts."""
+    N = m.n_feat
+    K = m.capacity_kf
     slots = mapstate.allocate_points(m, create)
     m = mapstate.add_points(m, slots, X, m.kf_desc[kf1], kf1, m.next_kf - 1)
     okc = create & (slots >= 0)
     m = mapstate.bind_observations(m, kf1, jnp.arange(N), slots, okc)
-    m = mapstate.bind_observations(m, kf2, i2, slots, okc)
+    # neighbor-side binds: one masked 2D scatter (rows differ per winner)
+    m = m._replace(kf_obs=m.kf_obs.at[
+        jnp.where(okc, jnp.clip(nb_ids, 0, K - 1), K),
+        jnp.where(okc, i2, 0)].set(slots, mode="drop"))
+    w = jnp.where(m.kf_ur[kf1] >= 0, 2, 1) + \
+        jnp.where(m.kf_ur[jnp.clip(nb_ids, 0, K - 1), i2] >= 0, 2, 1)
+    m = _bump_counts(m, jnp.clip(slots, 0, m.capacity_pt - 1), okc, w)
 
-    # normal + scale band for the new points in closed form — both
-    # observations are known right here (kf1 feature i, kf2 feature i2), so
-    # the full point-major observation rebuild (a K*N-element sort) the
-    # generic update_point_normals needs is unnecessary
+    # normal + scale band in closed form — both observations are known right
+    # here, so the full point-major observation rebuild is unnecessary
+    centers = se3.translation(se3.inverse(m.kf_pose))
+    O1 = centers[kf1]
+    O2 = centers[jnp.clip(nb_ids, 0, K - 1)]
     n1 = X - O1
     n2 = X - O2
     n1 = n1 / jnp.maximum(jnp.linalg.norm(n1, axis=-1, keepdims=True), 1e-9)
     n2 = n2 / jnp.maximum(jnp.linalg.norm(n2, axis=-1, keepdims=True), 1e-9)
     normal = 0.5 * (n1 + n2)
     sf = jnp.asarray(cfg.scale_factors, jnp.float32)
+    lvl1 = jnp.clip(m.kf_level[kf1], 0, cfg.n_levels - 1)
+    dist1 = jnp.linalg.norm(X - O1, axis=-1)
     max_dist = dist1 * sf[lvl1]
     min_dist = max_dist / sf[cfg.n_levels - 1]
     si = jnp.where(okc, slots, m.capacity_pt)
@@ -294,6 +335,44 @@ def triangulate_with_neighbor(cfg: SlamConfig, m: mapstate.MapState,
         pt_max_dist=m.pt_max_dist.at[si].set(max_dist, mode="drop"),
         pt_min_dist=m.pt_min_dist.at[si].set(min_dist, mode="drop"))
     return m, jnp.sum(okc.astype(jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "max_new"))
+def triangulate_with_neighbor(cfg: SlamConfig, m: mapstate.MapState,
+                              kf1, kf2, max_new: int = 256):
+    """Create new map points between keyframe kf1 (current) and covisible
+    kf2 (single-neighbor form; the mapping pass uses the batched
+    triangulate_batch)."""
+    create, X, i2, best = _triangulate_decide(cfg, m, kf1, kf2, max_new)
+    nb = jnp.broadcast_to(jnp.asarray(kf2, jnp.int32), create.shape)
+    return _commit_new_points(cfg, m, kf1, nb, create, X, i2, best)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "max_new"))
+def triangulate_batch(cfg: SlamConfig, m: mapstate.MapState, kf1,
+                      neighbor_ids, max_new: int = 256):
+    """CreateNewMapPoints against ALL covisible neighbors in one batch: the
+    per-neighbor decide phase is vmapped (the reference's sequential loop,
+    `src/LocalMapping.cc:300-336`, became a 10-20-iteration lax.scan in
+    round 2 — each iteration paying its own allocation sort and scatter
+    writes); each kf1 feature then takes its best-scoring neighbor match
+    (the sequential loop's first-come binding exclusion, resolved by match
+    quality instead of covisibility order) and everything commits in ONE
+    allocation + scatter round. neighbor_ids: (nn,), -1 padded."""
+    decide = lambda nb: _triangulate_decide(
+        cfg, m, kf1, jnp.maximum(nb, 0), max_new)
+    create_b, X_b, i2_b, best_b = jax.vmap(decide)(neighbor_ids)   # (nn,N,..)
+    create_b = create_b & (neighbor_ids >= 0)[:, None]
+    N = m.n_feat
+    key = jnp.where(create_b, best_b, matching.BIG)
+    winner = jnp.argmin(key, axis=0)                               # (N,)
+    rows = jnp.arange(N)
+    create = create_b[winner, rows]
+    X = X_b[winner, rows]
+    i2 = i2_b[winner, rows]
+    best = best_b[winner, rows]
+    nb_ids = neighbor_ids[winner]
+    return _commit_new_points(cfg, m, kf1, nb_ids, create, X, i2, best)
 
 
 # ---------------------------------------------------------------------------
@@ -529,16 +608,7 @@ def mapping_pass(cfg: SlamConfig, m: mapstate.MapState, kf_id):
 
     nn = 20 if cfg.sensor == SENSOR_MONOCULAR else 10
     ids, _ = mapstate.covisible_keyframes(m, kf_id, nn)
-
-    def tri_body(m, nb):
-        def run(m):
-            m2, _ = triangulate_with_neighbor(cfg, m, kf_id,
-                                              jnp.maximum(nb, 0))
-            return m2
-        m = jax.lax.cond(nb >= 0, run, lambda m: m, m)
-        return m, ()
-
-    m, _ = jax.lax.scan(tri_body, m, ids)
+    m, _ = triangulate_batch(cfg, m, kf_id, ids)
 
     # fuse with the two-level neighbor set, both directions
     # (SearchInNeighbors: current points -> each target KF, then the union
@@ -550,7 +620,7 @@ def mapping_pass(cfg: SlamConfig, m: mapstate.MapState, kf_id):
     tgt_ids, tgt_ok = _fusion_targets(m, kf_id, nn, cap=3 * nn)
     cur_pts = m.kf_obs[kf_id]
     P = m.capacity_pt
-    cnt = mapstate.count_observations(m)
+    cnt = m.pt_obs_cnt   # cached snapshot (kept current by insert/triangulate)
 
     def fuse_body(carry, nb):
         kf_obs, mapping = carry
@@ -591,7 +661,10 @@ def mapping_pass(cfg: SlamConfig, m: mapstate.MapState, kf_id):
     mapping = mapping[mapping]
     m = mapstate.replace_points(m, mapping)
 
-    # refresh point stats after fusion (one shared observation rebuild)
+    # refresh point stats after fusion — ONE shared observation rebuild for
+    # descriptors/normals, the cached counts, local BA wiring AND keyframe
+    # culling (each previously rebuilt its own point-major view: 3-4 K*N
+    # sorts+scatters per keyframe event)
     bound = m.kf_obs[kf_id]
     pmask = jnp.zeros((P,), bool).at[
         jnp.where(bound >= 0, bound, P)].set(True, mode="drop")
@@ -599,18 +672,20 @@ def mapping_pass(cfg: SlamConfig, m: mapstate.MapState, kf_id):
     m = mapstate.update_point_descriptors(m, pmask, obs=obs)
     m = mapstate.update_point_normals(m, pmask, cfg.scale_factors, obs=obs)
     m = mapstate.update_connections(m, kf_id)
+    m = m._replace(pt_obs_cnt=mapstate.obs_table_counts(m, obs))
 
     def ba_and_cull(m):
         m = local_ba(cfg, m, kf_id,
                      n_local=cfg.ba_local_cams, n_fixed=cfg.ba_fixed_cams,
                      max_pts=cfg.ba_max_points, max_obs=cfg.ba_max_obs,
                      obs=obs)
-        return cull_keyframes(cfg, m, kf_id)
+        # culling reuses the pre-BA table: BA's outlier erasures are a
+        # handful of observations — redundancy counts tolerate it
+        return cull_keyframes(cfg, m, kf_id, obs=obs)
 
     m, culled = jax.lax.cond(
         m.n_keyframes > 2, ba_and_cull,
         lambda m: (m, jnp.zeros((m.capacity_kf,), bool)), m)
-    m = mapstate.refresh_obs_count(m)
     return m, culled
 
 
@@ -630,7 +705,7 @@ def keyframe_pass(cfg: SlamConfig, m: mapstate.MapState, cur: FrameData,
     Returns (m, culled (K,) bool, summary (4,) i32). The culled mask is only
     transferred when summary says any_culled (keyframe culling is rare)."""
     m, kf_id = insert_keyframe(cfg, m, cur, Tcw, matched_pt, frame_id,
-                               timestamp)
+                               timestamp, update_stats=False)
     m, culled = mapping_pass(cfg, m, kf_id)
     summary = jnp.stack([
         jnp.asarray(kf_id, jnp.int32), m.n_keyframes, m.next_kf,
@@ -644,7 +719,7 @@ def keyframe_pass(cfg: SlamConfig, m: mapstate.MapState, cur: FrameData,
 
 @functools.partial(jax.jit, static_argnames=("cfg", "max_obs", "max_cand"))
 def cull_keyframes(cfg: SlamConfig, m: mapstate.MapState, kf_id,
-                   max_obs: int = 12, max_cand: int = 32):
+                   max_obs: int = 12, max_cand: int = 32, obs=None):
     """A covisible keyframe of kf_id is redundant if >=90% of its points are
     seen by >=3 other keyframes at the same or finer scale. The first
     keyframe is never culled. Returns (map, culled_mask (K,)).
@@ -652,13 +727,19 @@ def cull_keyframes(cfg: SlamConfig, m: mapstate.MapState, kf_id,
     Only the top-`max_cand` covisible keyframes are evaluated (the reference
     also only checks GetVectorCovisibleKeyFrames of the new KF,
     src/LocalMapping.cc:875; evaluating all K slots gathered ~25M elements
-    per pass)."""
+    per pass). obs: optional precomputed point_observations table to reuse
+    (its width may exceed max_obs; sliced)."""
     K = m.capacity_kf
-    obs_kf, obs_ft, obs_on = mapstate.point_observations(m, max_obs=max_obs)
+    if obs is None:
+        # standalone use: build the view (and true counts) fresh
+        obs = mapstate.point_observations(m, max_obs=max_obs)
+        obs_kf, obs_ft, obs_on = obs
+    else:
+        obs_kf, obs_ft, obs_on = (o[:, :max_obs] for o in obs)
     kfc = jnp.clip(obs_kf, 0, K - 1)
     ftc = jnp.clip(obs_ft, 0, m.n_feat - 1)
     levels = jnp.where(obs_on, m.kf_level[kfc, ftc], 1 << 10)   # (P,O)
-    cnt = mapstate.count_observations(m)
+    cnt = mapstate.obs_table_counts(m, (obs_kf, obs_ft, obs_on))
 
     first_fid = jnp.min(jnp.where(m.kf_valid, m.kf_frame_id, 1 << 30))
     candidates = (m.covis[kf_id] > 0) & m.kf_valid & (m.kf_frame_id > first_fid)
@@ -691,12 +772,23 @@ def cull_keyframes(cfg: SlamConfig, m: mapstate.MapState, kf_id,
         jnp.where(cull_c, cand_ids, K)].set(True, mode="drop") & candidates
 
     # erase culled keyframes: clear obs, covis, validity; reparent children
-    obs_cleared = jnp.where(cull[:, None], INVALID, m.kf_obs)
-    covis = jnp.where(cull[:, None] | cull[None, :], 0, m.covis)
-    new_parent = m.parent
-    parent_culled = cull[jnp.clip(m.parent, 0, K - 1)] & (m.parent >= 0)
-    grand = m.parent[jnp.clip(m.parent, 0, K - 1)]
-    new_parent = jnp.where(parent_culled, grand, new_parent)
-    m = m._replace(kf_obs=obs_cleared, covis=covis,
-                   kf_valid=m.kf_valid & ~cull, parent=new_parent)
+    def apply_cull(m):
+        obs_cleared = jnp.where(cull[:, None], INVALID, m.kf_obs)
+        covis = jnp.where(cull[:, None] | cull[None, :], 0, m.covis)
+        new_parent = m.parent
+        parent_culled = cull[jnp.clip(m.parent, 0, K - 1)] & (m.parent >= 0)
+        grand = m.parent[jnp.clip(m.parent, 0, K - 1)]
+        new_parent = jnp.where(parent_culled, grand, new_parent)
+        # decrement cached counts for the cleared observations (masked K*N
+        # scatter — only paid when a cull actually fires)
+        gone = cull[:, None] & (m.kf_obs >= 0)
+        w = jnp.where(m.kf_ur >= 0, 2, 1)
+        dec = jnp.zeros((m.capacity_pt,), jnp.int32).at[
+            jnp.where(gone, m.kf_obs, m.capacity_pt).reshape(-1)
+        ].add(jnp.where(gone, w, 0).reshape(-1), mode="drop")
+        return m._replace(kf_obs=obs_cleared, covis=covis,
+                          kf_valid=m.kf_valid & ~cull, parent=new_parent,
+                          pt_obs_cnt=m.pt_obs_cnt - dec)
+
+    m = jax.lax.cond(jnp.any(cull), apply_cull, lambda m: m, m)
     return m, cull
