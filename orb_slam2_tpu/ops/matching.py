@@ -99,7 +99,7 @@ def search_by_projection_points(
     uv, pred_level, view_cos, point_desc, point_valid, point_ur,
     kp_xy, kp_level, kp_desc, kp_valid, kp_ur,
     scale_factors, th: float, nn_ratio: float = 0.8,
-    already_matched=None,
+    already_matched=None, use_pallas: bool = False,
 ):
     """Local-map point -> current frame search
     (`ORBmatcher::SearchByProjection(Frame&, vector<MapPoint*>&, th)`,
@@ -108,43 +108,52 @@ def search_by_projection_points(
     uv: (P,2) projected pixel coords of map points; pred_level: (P,) predicted
     octave; view_cos: (P,); point_ur: (P,) projected right-x or -1;
     kp_ur: (N,) frame keypoint right-x or -1. Returns Matches over P sources.
+
+    With use_pallas (TPU), the candidate mask, Hamming distances and the
+    level-aware best/second reduction run in ONE fused VMEM kernel — the XLA
+    path writes several (P,N) intermediates through HBM.
     """
     sf = jnp.asarray(scale_factors)
     r = jnp.where(view_cos > 0.998, 2.5, 4.0) * th
     radius = r * sf[jnp.clip(pred_level, 0, sf.shape[0] - 1)]        # (P,)
+    kv = kp_valid if already_matched is None else kp_valid & ~already_matched
 
-    d2 = jnp.sum((uv[:, None, :] - kp_xy[None, :, :]) ** 2, axis=-1)
-    # Chebyshev window like GetFeaturesInArea uses a square window
-    win = (jnp.abs(uv[:, None, 0] - kp_xy[None, :, 0]) < radius[:, None]) & (
-        jnp.abs(uv[:, None, 1] - kp_xy[None, :, 1]) < radius[:, None]
-    )
-    del d2
-    lvl_ok = (kp_level[None, :] >= pred_level[:, None] - 1) & (
-        kp_level[None, :] <= pred_level[:, None]
-    )
-    stereo_ok = jnp.where(
-        (point_ur[:, None] >= 0) & (kp_ur[None, :] >= 0),
-        jnp.abs(point_ur[:, None] - kp_ur[None, :]) < radius[:, None],
-        True,
-    )
-    cand = win & lvl_ok & stereo_ok & point_valid[:, None] & kp_valid[None, :]
-    if already_matched is not None:
-        cand = cand & (~already_matched)[None, :]
+    if use_pallas and kp_xy.shape[0] <= 8192:
+        from .pallas_kernels import projection_best_two_pallas
 
-    dist = hamming_matrix(point_desc, kp_desc)
-    best, best_idx, second = best_two(dist, cand)
+        best, best_idx, second_same_lvl = projection_best_two_pallas(
+            uv, radius, pred_level, point_ur, point_valid, point_desc,
+            kp_xy, kp_level, kp_ur, kv, kp_desc)
+    else:
+        # Chebyshev window like GetFeaturesInArea uses a square window
+        win = (jnp.abs(uv[:, None, 0] - kp_xy[None, :, 0]) < radius[:, None]) & (
+            jnp.abs(uv[:, None, 1] - kp_xy[None, :, 1]) < radius[:, None]
+        )
+        lvl_ok = (kp_level[None, :] >= pred_level[:, None] - 1) & (
+            kp_level[None, :] <= pred_level[:, None]
+        )
+        stereo_ok = jnp.where(
+            (point_ur[:, None] >= 0) & (kp_ur[None, :] >= 0),
+            jnp.abs(point_ur[:, None] - kp_ur[None, :]) < radius[:, None],
+            True,
+        )
+        cand = win & lvl_ok & stereo_ok & point_valid[:, None] & kv[None, :]
 
-    # level-aware ratio test: only applied when best and second share a level
-    best_lvl = kp_level[best_idx]
-    d_masked = jnp.where(cand, dist, BIG)
-    same_lvl = jnp.where(kp_level[None, :] == best_lvl[:, None], d_masked, BIG)
-    same_lvl = same_lvl.at[jnp.arange(dist.shape[0]), best_idx].set(BIG)
-    second_same_lvl = jnp.min(same_lvl, axis=1)
+        dist = hamming_matrix(point_desc, kp_desc)
+        best, best_idx, _ = best_two(dist, cand)
+
+        # level-aware second best: only keypoints sharing the best's octave
+        best_lvl = kp_level[best_idx]
+        d_masked = jnp.where(cand, dist, BIG)
+        same_lvl = jnp.where(kp_level[None, :] == best_lvl[:, None],
+                             d_masked, BIG)
+        same_lvl = same_lvl.at[jnp.arange(dist.shape[0]), best_idx].set(BIG)
+        second_same_lvl = jnp.min(same_lvl, axis=1)
+
+    # ratio test only fires when a second candidate shares the best's level
     ratio_ok = jnp.where(
         second_same_lvl < BIG, best <= nn_ratio * second_same_lvl, True
     )
-    del second
-
     accept = (best <= TH_HIGH) & ratio_ok & point_valid
     keep = resolve_conflicts(best_idx, best, accept, kp_xy.shape[0])
     return Matches(best_idx.astype(jnp.int32), best, keep)

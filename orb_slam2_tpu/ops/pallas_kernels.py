@@ -96,6 +96,100 @@ def masked_best_two_pallas(desc_a, desc_b, cand_mask, interpret: bool = False):
     return best[:N, 0], idx[:N, 0], second[:N, 0]
 
 
+def _proj_match_kernel(pu, pv, pr, plvl, pur, pval, pdesc,
+                       ku, kv, klvl, kur, kval, kdesc,
+                       best_ref, idx_ref, second_ref):
+    """Fused projection matcher tile: window + octave + stereo candidate
+    mask, Hamming, best/best-idx, and the LEVEL-AWARE second-best — all in
+    VMEM. The XLA path materializes ~6 (P,N) HBM arrays per call (window
+    masks, candidate mask, distance matrix, level-masked copies)."""
+    T = pdesc.shape[0]
+    N = kdesc.shape[0]
+    du = jnp.abs(pu[...] - ku[...])                    # (T,N)
+    dv = jnp.abs(pv[...] - kv[...])
+    r = pr[...]                                        # (T,1) -> broadcast
+    win = (du < r) & (dv < r)
+    kl = klvl[...]                                     # (1,N) int32
+    pl_ = plvl[...]                                    # (T,1) int32
+    lvl_ok = (kl >= pl_ - 1) & (kl <= pl_)
+    has_st = (pur[...] >= 0.0) & (kur[...] >= 0.0)
+    st_ok = jnp.where(has_st, jnp.abs(pur[...] - kur[...]) < r, True)
+    cand = win & lvl_ok & st_ok & (pval[...] > 0) & (kval[...] > 0)
+
+    dist = jnp.zeros((T, N), jnp.int32)
+    a = pdesc[...]
+    b = kdesc[...]
+    for w in range(8):
+        x = jnp.bitwise_xor(a[:, w][:, None], b[:, w][None, :])
+        dist = dist + jax.lax.population_count(x).astype(jnp.int32)
+
+    d = jnp.where(cand, dist, BIG)
+    col = jax.lax.broadcasted_iota(jnp.int32, (T, N), 1)
+    key = d * N + col                                  # BIG*N < 2^31
+    key_min = jnp.min(key, axis=1)
+    best = key_min // N
+    bidx = key_min - best * N
+    # level of the best hit, then second-best restricted to that level
+    # (the ratio test of SearchByProjection(Frame&, vpMapPoints) only fires
+    # when best and second share an octave, src/ORBmatcher.cc:160-170)
+    best_lvl = jnp.sum(jnp.where(col == bidx[:, None],
+                                 jnp.broadcast_to(kl, (T, N)), 0), axis=1)
+    same = cand & (kl == best_lvl[:, None]) & (col != bidx[:, None])
+    second = jnp.min(jnp.where(same, dist, BIG), axis=1)
+
+    best_ref[...] = jnp.broadcast_to(best[:, None], (T, 128))
+    idx_ref[...] = jnp.broadcast_to(bidx[:, None], (T, 128))
+    second_ref[...] = jnp.broadcast_to(second[:, None], (T, 128))
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def projection_best_two_pallas(uv, radius, pred_level, p_ur, p_valid, p_desc,
+                               kp_xy, kp_level, kp_ur, kp_valid, kp_desc,
+                               interpret: bool = False):
+    """Fused local-map projection search reduction. Sources: (P,...) map
+    points with projected uv, per-point window radius, predicted octave,
+    projected right-x (-1 mono), validity, descriptors. Targets: (N,...)
+    frame keypoints. Returns (best (P,), best_idx (P,), second_same_level
+    (P,)) with BIG for masked rows."""
+    P = uv.shape[0]
+    N = kp_xy.shape[0]
+    if N > 8192:
+        raise ValueError("projection_best_two_pallas: N must be <= 8192")
+    pad = (-P) % TILE_N
+    pc = lambda x: jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
+    uv, radius, pred_level, p_ur, p_valid, p_desc = (
+        pc(uv), pc(radius), pc(pred_level), pc(p_ur),
+        pc(p_valid.astype(jnp.int32)), pc(p_desc))
+    Pp = uv.shape[0]
+    grid = (Pp // TILE_N,)
+    col = lambda x: x[:, None]
+    row = lambda x: x[None, :]
+    src_spec = pl.BlockSpec((TILE_N, 1), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    tgt_spec = pl.BlockSpec((1, N), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((TILE_N, 128), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    best, idx, second = pl.pallas_call(
+        _proj_match_kernel,
+        grid=grid,
+        in_specs=[src_spec, src_spec, src_spec, src_spec, src_spec, src_spec,
+                  pl.BlockSpec((TILE_N, 8), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+                  tgt_spec, tgt_spec, tgt_spec, tgt_spec, tgt_spec,
+                  pl.BlockSpec((N, 8), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(out_spec, out_spec, out_spec),
+        out_shape=(jax.ShapeDtypeStruct((Pp, 128), jnp.int32),
+                   jax.ShapeDtypeStruct((Pp, 128), jnp.int32),
+                   jax.ShapeDtypeStruct((Pp, 128), jnp.int32)),
+        interpret=interpret,
+    )(col(uv[:, 0]), col(uv[:, 1]), col(radius),
+      col(pred_level.astype(jnp.int32)), col(p_ur), col(p_valid), p_desc,
+      row(kp_xy[:, 0]), row(kp_xy[:, 1]), row(kp_level.astype(jnp.int32)),
+      row(kp_ur), row(kp_valid.astype(jnp.int32)), kp_desc)
+    return best[:P, 0], idx[:P, 0], second[:P, 0]
+
+
 def backend_supports_pallas() -> bool:
     try:
         return jax.default_backend() in ("tpu", "axon")

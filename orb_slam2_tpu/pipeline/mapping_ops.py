@@ -422,7 +422,7 @@ def _fuse_decide(cfg: SlamConfig, m: mapstate.MapState, cnt, kf_id, pt_ids,
         m.pt_desc[jnp.clip(pt_ids, 0, m.capacity_pt - 1)], valid, ur_proj,
         m.kf_xy[kf_id], m.kf_level[kf_id], m.kf_desc[kf_id],
         m.kf_feat_valid[kf_id], m.kf_ur[kf_id],
-        cfg.scale_factors, th=3.0, nn_ratio=1.0)
+        cfg.scale_factors, th=3.0, nn_ratio=1.0, use_pallas=cfg.use_pallas)
 
     tgt_pt = m.kf_obs[kf_id][jnp.clip(mm.idx, 0, m.n_feat - 1)]
     src = jnp.clip(pt_ids, 0, m.capacity_pt - 1)

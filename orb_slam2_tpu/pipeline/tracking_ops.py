@@ -116,7 +116,8 @@ def track_local_map(cfg: SlamConfig, m: mapstate.MapState, Tcw,
     mm = matching.search_by_projection_points(
         uv, pred_level, view_cos, m.pt_desc[local_pt], search_mask, ur_proj,
         cur.xy, cur.level, cur.desc, cur.valid, cur.ur,
-        cfg.scale_factors, th=th, nn_ratio=0.8, already_matched=kp_taken)
+        cfg.scale_factors, th=th, nn_ratio=0.8, already_matched=kp_taken,
+        use_pallas=cfg.use_pallas)
 
     # merge: new matches fill untaken keypoints
     N = cur.xy.shape[0]

@@ -36,3 +36,86 @@ class TestMaskedBestTwo:
         assert int(best[1]) == matching.BIG
         assert int(idx[0]) == 5
         assert int(second[0]) == matching.BIG
+
+
+class TestProjectionBestTwo:
+    """Fused projection matcher vs the XLA search_by_projection_points path
+    (bit-exact: same candidate mask, same tie-breaks, same level-aware
+    second-best)."""
+
+    def _inputs(self, rng, P, N):
+        uv = rng.uniform(0, 640, (P, 2)).astype(np.float32)
+        radius = rng.uniform(5, 60, P).astype(np.float32)
+        pred = rng.integers(0, 8, P).astype(np.int32)
+        p_ur = np.where(rng.random(P) < 0.5,
+                        rng.uniform(0, 640, P), -1.0).astype(np.float32)
+        p_valid = rng.random(P) < 0.8
+        p_desc = rng.integers(0, 2**32, (P, 8), dtype=np.uint32)
+        kp_xy = rng.uniform(0, 640, (N, 2)).astype(np.float32)
+        kp_level = rng.integers(0, 8, N).astype(np.int32)
+        kp_ur = np.where(rng.random(N) < 0.5,
+                         rng.uniform(0, 640, N), -1.0).astype(np.float32)
+        kp_valid = rng.random(N) < 0.9
+        kp_desc = rng.integers(0, 2**32, (N, 8), dtype=np.uint32)
+        return (uv, radius, pred, p_ur, p_valid, p_desc,
+                kp_xy, kp_level, kp_ur, kp_valid, kp_desc)
+
+    def _xla_ref(self, uv, radius, pred, p_ur, p_valid, p_desc,
+                 kp_xy, kp_level, kp_ur, kp_valid, kp_desc):
+        win = (np.abs(uv[:, None, 0] - kp_xy[None, :, 0]) < radius[:, None]) & \
+              (np.abs(uv[:, None, 1] - kp_xy[None, :, 1]) < radius[:, None])
+        lvl_ok = (kp_level[None, :] >= pred[:, None] - 1) & \
+                 (kp_level[None, :] <= pred[:, None])
+        st = np.where((p_ur[:, None] >= 0) & (kp_ur[None, :] >= 0),
+                      np.abs(p_ur[:, None] - kp_ur[None, :]) < radius[:, None],
+                      True)
+        cand = win & lvl_ok & st & p_valid[:, None] & kp_valid[None, :]
+        dist = np.asarray(matching.hamming_matrix(jnp.asarray(p_desc),
+                                                  jnp.asarray(kp_desc)))
+        d = np.where(cand, dist, matching.BIG)
+        best = d.min(1)
+        bidx = d.argmin(1)
+        best_lvl = kp_level[bidx]
+        same = cand & (kp_level[None, :] == best_lvl[:, None])
+        dd = np.where(same, dist, matching.BIG)
+        dd[np.arange(len(bidx)), bidx] = matching.BIG
+        second = dd.min(1)
+        return best, bidx, second
+
+    def test_bit_exact(self, rng):
+        args = self._inputs(rng, 200, 256)
+        best, idx, second = pallas_kernels.projection_best_two_pallas(
+            *[jnp.asarray(a) for a in args], interpret=True)
+        b, i, s = self._xla_ref(*args)
+        np.testing.assert_array_equal(np.asarray(best), b)
+        np.testing.assert_array_equal(np.asarray(idx), i)
+        np.testing.assert_array_equal(np.asarray(second), s)
+
+    def test_matches_search_by_projection_points(self, rng):
+        """End-to-end: the use_pallas path of search_by_projection_points
+        (interpret via monkeypatch) equals the XLA path."""
+        import orb_slam2_tpu.ops.pallas_kernels as pk
+
+        (uv, radius, pred, p_ur, p_valid, p_desc,
+         kp_xy, kp_level, kp_ur, kp_valid, kp_desc) = self._inputs(rng, 150, 256)
+        view_cos = rng.uniform(0.5, 1.0, 150).astype(np.float32)
+        sf = [1.2 ** i for i in range(8)]
+        kw = dict(th=3.0, nn_ratio=0.9)
+        args = (jnp.asarray(uv), jnp.asarray(pred), jnp.asarray(view_cos),
+                jnp.asarray(p_desc), jnp.asarray(p_valid), jnp.asarray(p_ur),
+                jnp.asarray(kp_xy), jnp.asarray(kp_level),
+                jnp.asarray(kp_desc), jnp.asarray(kp_valid),
+                jnp.asarray(kp_ur), sf)
+        ref = matching.search_by_projection_points(*args, **kw)
+        orig = pk.projection_best_two_pallas
+        pk.projection_best_two_pallas = \
+            lambda *a, **k: orig(*a, interpret=True)
+        try:
+            got = matching.search_by_projection_points(
+                *args, use_pallas=True, **kw)
+        finally:
+            pk.projection_best_two_pallas = orig
+        np.testing.assert_array_equal(np.asarray(ref.valid), np.asarray(got.valid))
+        np.testing.assert_array_equal(
+            np.asarray(ref.idx)[np.asarray(ref.valid)],
+            np.asarray(got.idx)[np.asarray(got.valid)])
