@@ -68,6 +68,16 @@ class MapState(NamedTuple):
                                # step resolves last-frame bindings through it
                                # so a point fused away between frames keeps
                                # matching under its survivor id.
+    # --- cached point-major observation table ---
+    obs_kf: jnp.ndarray        # (P,OBS_W) i32 observing keyframe ids (-1 pad)
+    obs_ft: jnp.ndarray        # (P,OBS_W) i32 feature index in that keyframe
+                               # Derived view of kf_obs, refreshed at keyframe
+                               # events (insert finale / loop correction); the
+                               # per-frame and per-event consumers that used
+                               # to sweep the full (K,N) incidence (local-map
+                               # selection, covisibility updates, point
+                               # erase/replace) read or patch this instead —
+                               # a ~35x smaller working set at K=512.
     # --- graphs ---
     covis: jnp.ndarray         # (K,K) i32 shared-point counts
     parent: jnp.ndarray        # (K,) i32 spanning-tree parent (-1 root)
@@ -99,6 +109,9 @@ class MapState(NamedTuple):
         return self.kf_obs.shape[1]
 
 
+OBS_W = 16   # cached observation-table width (first OBS_W by (kf, feat))
+
+
 def empty(max_keyframes: int, max_points: int, max_keypoints: int,
           max_loop_edges: int = 32) -> MapState:
     K, P, N = max_keyframes, max_points, max_keypoints
@@ -128,6 +141,8 @@ def empty(max_keyframes: int, max_points: int, max_keypoints: int,
         pt_found=f((P,), jnp.int32),
         pt_obs_cnt=f((P,), jnp.int32),
         pt_forward=jnp.arange(P, dtype=jnp.int32),
+        obs_kf=jnp.full((P, OBS_W), INVALID, jnp.int32),
+        obs_ft=jnp.full((P, OBS_W), INVALID, jnp.int32),
         covis=f((K, K), jnp.int32),
         parent=jnp.full((K,), INVALID, jnp.int32),
         loop_edges=jnp.full((max_loop_edges, 2), INVALID, jnp.int32),
@@ -196,16 +211,25 @@ def point_indicator(m: MapState, kf_id):
     return ind
 
 
-def update_connections(m: MapState, kf_id):
+def update_connections(m: MapState, kf_id, use_table: bool = False):
     """Recompute covisibility weights of kf_id vs all keyframes and set the
     spanning-tree parent (best covisible among earlier KFs), mirroring
     `KeyFrame::UpdateConnections` (`src/KeyFrame.cc:411-533`): weights below
     th=15 are kept in the matrix (queries threshold as needed); parent set
-    once (first call with nonzero weights)."""
-    ind = point_indicator(m, kf_id)                            # (P,)
-    looked = ind[jnp.clip(m.kf_obs, 0, m.capacity_pt - 1)]     # (K,N)
-    looked = jnp.where(m.kf_obs >= 0, looked, 0)
-    w = jnp.sum(looked, axis=1).astype(jnp.int32)              # (K,)
+    once (first call with nonzero weights).
+
+    use_table=True reads co-observers from the cached obs table (kf_id's OWN
+    row comes from kf_obs, so a just-inserted keyframe counts correctly) —
+    the hot keyframe-event path uses this; the default sweeps kf_obs and is
+    safe on manually built maps with a stale table."""
+    if use_table:
+        row = m.kf_obs[kf_id]
+        w = shared_observers(m, row, row >= 0)
+    else:
+        ind = point_indicator(m, kf_id)                        # (P,)
+        looked = ind[jnp.clip(m.kf_obs, 0, m.capacity_pt - 1)]  # (K,N)
+        looked = jnp.where(m.kf_obs >= 0, looked, 0)
+        w = jnp.sum(looked, axis=1).astype(jnp.int32)          # (K,)
     w = jnp.where(m.kf_valid, w, 0)
     w = w.at[kf_id].set(0)
     covis = m.covis.at[kf_id, :].set(w)
@@ -330,6 +354,117 @@ def replace_points(m: MapState, mapping):
     )
 
 
+def erase_points_fast(m: MapState, point_mask, extra_row=None,
+                      max_killed: int = 4096):
+    """erase_points via the cached observation table: compact the killed set
+    and clear exactly its (kf, feat) entries — a (max_killed, OBS_W) scatter
+    instead of the full (K,N) incidence sweep. extra_row: a keyframe id whose
+    row is additionally swept directly (the just-inserted keyframe, whose
+    bindings postdate the table). Killed points beyond max_killed (far above
+    any real culling round) keep dangling kf_obs entries until the
+    end-of-pass table rebuild; consumers mask by pt_valid."""
+    K = m.capacity_kf
+    P = m.capacity_pt
+    kill = point_mask & m.pt_valid
+    sel, ok = compact_mask(kill, max_killed)
+    rows_kf = m.obs_kf[sel]
+    rows_ft = m.obs_ft[sel]
+    on = (rows_kf >= 0) & ok[:, None]
+    kf_obs = m.kf_obs.at[
+        jnp.where(on, rows_kf, K), jnp.where(on, rows_ft, 0)
+    ].set(INVALID, mode="drop")
+    if extra_row is not None:
+        row = kf_obs[extra_row]
+        row = jnp.where((row >= 0) & kill[jnp.clip(row, 0, P - 1)],
+                        INVALID, row)
+        kf_obs = kf_obs.at[extra_row].set(row)
+    blank = jnp.full((max_killed, OBS_W), INVALID, jnp.int32)
+    si = jnp.where(ok, sel, P)
+    return m._replace(
+        kf_obs=kf_obs,
+        pt_valid=m.pt_valid & ~kill,
+        obs_kf=m.obs_kf.at[si].set(blank, mode="drop"),
+        obs_ft=m.obs_ft.at[si].set(blank, mode="drop"),
+    )
+
+
+def replace_points_fast(m: MapState, mapping, max_replaced: int = 2048):
+    """Point fusion (`MapPoint::Replace`) via the cached observation table:
+    compact the replaced set, rewrite exactly its observations, and patch the
+    table rows — instead of redirecting the full (K,N) incidence and building
+    a (K,P) first-occurrence matrix.
+
+    Faithful duplicate rule (`src/MapPoint.cc` Replace +
+    `KeyFrame::ReplaceMapPointMatch`): where a keyframe already observes the
+    replacement, the SOURCE slot is erased (the existing binding wins);
+    otherwise the source slot is rewritten to the replacement. mapping must
+    be chain-resolved (a->b->c composed to a->c). Replaced points beyond
+    max_replaced still lose validity/get forwarded, but their kf_obs entries
+    dangle until the end-of-pass rebuild (consumers mask by pt_valid)."""
+    K = m.capacity_kf
+    P = m.capacity_pt
+    W = OBS_W
+    replaced = (mapping != jnp.arange(P)) & m.pt_valid
+    sel, ok = compact_mask(replaced, max_replaced)
+    src = jnp.clip(sel, 0, P - 1)
+    tgt = jnp.clip(mapping[src], 0, P - 1)
+    s_kf = m.obs_kf[src]
+    s_ft = m.obs_ft[src]
+    t_kf = m.obs_kf[tgt]
+    t_ft = m.obs_ft[tgt]
+    s_on = (s_kf >= 0) & ok[:, None]
+    t_on = (t_kf >= 0) & ok[:, None]
+    dup = jnp.any(
+        s_kf[:, :, None] == jnp.where(t_on, t_kf, -2)[:, None, :],
+        axis=2) & s_on
+
+    # rewrite the source observations in kf_obs
+    newval = jnp.where(dup, INVALID, tgt[:, None])
+    kf_obs = m.kf_obs.at[
+        jnp.where(s_on, s_kf, K), jnp.where(s_on, s_ft, 0)
+    ].set(jnp.broadcast_to(newval, s_kf.shape), mode="drop")
+
+    # patch the table: target rows gain the source's non-duplicate entries
+    add_kf = jnp.where(s_on & ~dup, s_kf, INVALID)
+    add_ft = jnp.where(s_on & ~dup, s_ft, INVALID)
+    merged_kf = jnp.concatenate([jnp.where(t_on, t_kf, INVALID), add_kf], 1)
+    merged_ft = jnp.concatenate([jnp.where(t_on, t_ft, INVALID), add_ft], 1)
+    order = jnp.argsort(merged_kf < 0, axis=1, stable=True)       # valid first
+    mk = jnp.take_along_axis(merged_kf, order, axis=1)[:, :W]
+    mf = jnp.take_along_axis(merged_ft, order, axis=1)[:, :W]
+    ti = jnp.where(ok, tgt, P)
+    obs_kf = m.obs_kf.at[ti].set(mk, mode="drop")
+    obs_ft = m.obs_ft.at[ti].set(mf, mode="drop")
+    blank = jnp.full((max_replaced, W), INVALID, jnp.int32)
+    si = jnp.where(ok, src, P)
+    obs_kf = obs_kf.at[si].set(blank, mode="drop")
+    obs_ft = obs_ft.at[si].set(blank, mode="drop")
+
+    # counters: survivors accumulate the replaced points' visible/found and
+    # observation weights (AddObservation semantics for the moved entries)
+    vis_add = jnp.zeros((P,), jnp.int32).at[ti].add(
+        jnp.where(ok, m.pt_visible[src], 0), mode="drop")
+    fnd_add = jnp.zeros((P,), jnp.int32).at[ti].add(
+        jnp.where(ok, m.pt_found[src], 0), mode="drop")
+    w_add = jnp.where(
+        (add_kf >= 0),
+        jnp.where(m.kf_ur[jnp.clip(add_kf, 0, K - 1),
+                          jnp.clip(add_ft, 0, m.n_feat - 1)] >= 0, 2, 1), 0)
+    cnt_add = jnp.zeros((P,), jnp.int32).at[ti].add(
+        jnp.sum(w_add, axis=1), mode="drop")
+
+    return m._replace(
+        kf_obs=kf_obs,
+        obs_kf=obs_kf,
+        obs_ft=obs_ft,
+        pt_valid=m.pt_valid & ~replaced,
+        pt_visible=m.pt_visible + vis_add,
+        pt_found=m.pt_found + fnd_add,
+        pt_obs_cnt=m.pt_obs_cnt + cnt_add,
+        pt_forward=mapping[jnp.clip(m.pt_forward, 0, P - 1)],
+    )
+
+
 # ---------------------------------------------------------------------------
 # Derived point-major views
 # ---------------------------------------------------------------------------
@@ -394,6 +529,31 @@ def point_observations(m: MapState, max_obs: int = 16, chunk: int = 64):
     (obs_kf, obs_ft, _), _ = jax.lax.scan(
         body, (obs_kf0, obs_ft0, fill0), (rows_c, valid_c, k0_c))
     return obs_kf, obs_ft, obs_kf >= 0
+
+
+def refresh_obs_table(m: MapState, obs=None) -> MapState:
+    """Rebuild the cached point-major observation table (and the weighted
+    counts) from kf_obs. Call after bulk observation mutations outside the
+    standard keyframe event (loop-closure fusion, manual map construction,
+    checkpoint load); keyframe insertion and the mapping finale refresh it
+    themselves."""
+    if obs is None:
+        obs = point_observations(m, OBS_W)
+    obs_kf, obs_ft, _ = obs
+    m = m._replace(obs_kf=obs_kf[:, :OBS_W], obs_ft=obs_ft[:, :OBS_W])
+    return m._replace(pt_obs_cnt=obs_table_counts(
+        m, (m.obs_kf, m.obs_ft, m.obs_kf >= 0)))
+
+
+def shared_observers(m: MapState, point_ids, point_mask):
+    """(K,) count of the given map points observed per keyframe, read from
+    the cached table: one (B, OBS_W) gather + scatter instead of sweeping the
+    (K,N) incidence (UpdateLocalKeyFrames / UpdateConnections inner loop)."""
+    K = m.capacity_kf
+    rows = m.obs_kf[jnp.clip(point_ids, 0, m.capacity_pt - 1)]   # (B,W)
+    on = (rows >= 0) & point_mask[:, None]
+    return jnp.zeros((K,), jnp.int32).at[
+        jnp.where(on, rows, K)].add(1, mode="drop")
 
 
 def obs_table_counts(m: MapState, obs) -> jnp.ndarray:

@@ -40,10 +40,11 @@ def _bump_counts(m: mapstate.MapState, point_ids, mask, weight):
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "all_depth",
-                                             "update_stats"))
+                                             "update_stats", "table_fresh"))
 def insert_keyframe(cfg: SlamConfig, m: mapstate.MapState, cur: FrameData,
                     Tcw, matched_pt, frame_id, timestamp,
-                    all_depth: bool = False, update_stats: bool = True):
+                    all_depth: bool = False, update_stats: bool = True,
+                    table_fresh: bool = False):
     """Insert the current frame as a keyframe. matched_pt: (N,) map-point ids
     from tracking. For stereo/RGBD, unmatched features with depth spawn new
     map points: all closer than ThDepth*baseline, and if fewer than 100, the
@@ -88,21 +89,24 @@ def insert_keyframe(cfg: SlamConfig, m: mapstate.MapState, cur: FrameData,
         m = mapstate.bind_observations(m, kf_id, jnp.arange(matched_pt.shape[0]),
                                        slots, create & (slots >= 0))
 
-    m = mapstate.update_connections(m, kf_id)
+    # table_fresh: the caller guarantees the cached obs table reflects every
+    # keyframe except this one (keyframe_pass entry invariant) — covisibility
+    # then reads it instead of sweeping the (K,N) incidence
+    m = mapstate.update_connections(m, kf_id, use_table=table_fresh)
     # keep the cached counts current (weight +1 mono / +2 stereo per binding)
     bound = m.kf_obs[kf_id]
     w = jnp.where(m.kf_ur[kf_id] >= 0, 2, 1)
     m = _bump_counts(m, jnp.clip(bound, 0, m.capacity_pt - 1), bound >= 0, w)
     if update_stats:
-        # standalone use (initialization): refresh point stats now. Inside
-        # keyframe_pass this is skipped — the mapping finale refreshes the
-        # same points with the post-fusion observation table.
+        # standalone use (initialization): refresh point stats + the cached
+        # observation table now. Inside keyframe_pass this is skipped — the
+        # mapping finale refreshes the same points post-fusion.
         mask = jnp.zeros((m.capacity_pt,), bool).at[
             jnp.where(bound >= 0, bound, m.capacity_pt)].set(True, mode="drop")
         obs = mapstate.point_observations(m, 16)
+        m = mapstate.refresh_obs_table(m, obs=obs)
         m = mapstate.update_point_descriptors(m, mask, obs=obs)
         m = mapstate.update_point_normals(m, mask, cfg.scale_factors, obs=obs)
-        m = m._replace(pt_obs_cnt=mapstate.obs_table_counts(m, obs))
     return m, kf_id
 
 
@@ -111,10 +115,11 @@ def insert_keyframe(cfg: SlamConfig, m: mapstate.MapState, cur: FrameData,
 # ---------------------------------------------------------------------------
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
-def cull_map_points(cfg: SlamConfig, m: mapstate.MapState):
+def cull_map_points(cfg: SlamConfig, m: mapstate.MapState, cur_kf=None):
     """Recently-created points must earn their keep: found/visible >= 0.25,
     and >= 2 (mono) / 3 (stereo) weighted observations once 2 keyframes have
-    passed since creation."""
+    passed since creation. cur_kf: the just-inserted keyframe (its bindings
+    postdate the cached observation table — swept directly)."""
     seq_now = m.next_kf - 1
     age = seq_now - m.pt_first_kf
     recent = m.pt_valid & (age <= 2)
@@ -123,7 +128,9 @@ def cull_map_points(cfg: SlamConfig, m: mapstate.MapState):
     cnt = m.pt_obs_cnt   # cached snapshot (maintained incrementally)
     th_obs = 2 if cfg.sensor == SENSOR_MONOCULAR else 3
     bad = recent & ((ratio < 0.25) | ((age >= 2) & (cnt <= th_obs)))
-    return mapstate.erase_points(m, bad)
+    if cur_kf is None:
+        return mapstate.erase_points(m, bad)
+    return mapstate.erase_points_fast(m, bad, extra_row=cur_kf)
 
 
 # ---------------------------------------------------------------------------
@@ -448,15 +455,26 @@ def fuse_into_keyframe(cfg: SlamConfig, m: mapstate.MapState, kf_id, pt_ids,
                        pt_sel):
     """Project the given map points into keyframe kf_id; for each good match:
     if the keypoint is bound to another point, keep the better-observed one
-    (Replace); else bind the point. pt_ids: (B,) candidate ids; pt_sel: (B,)."""
+    (Replace); else bind the point. pt_ids: (B,) candidate ids; pt_sel: (B,).
+
+    Standalone form (loop-closure SearchAndFuse): refreshes the cached
+    observation table first so the replacement bookkeeping sees every
+    binding, including ones a previous fuse round just made."""
     P = m.capacity_pt
-    cnt = mapstate.count_observations(m)
+    m = mapstate.refresh_obs_table(m)
+    cnt = m.pt_obs_cnt
     idx, bind, src, tgt, both, src_wins = _fuse_decide(
         cfg, m, cnt, kf_id, pt_ids, pt_sel)
     mapping = _fuse_mapping_update(
         jnp.arange(P, dtype=jnp.int32), src, tgt, both, src_wins, P)
-    m = mapstate.replace_points(m, mapping)
+    m = mapstate.replace_points_fast(m, mapping)
     m = mapstate.bind_observations(m, kf_id, idx, src, bind)
+    # the new binds postdate the table; leave consistent for the next round
+    row = m.kf_obs[kf_id]
+    row = jnp.where((row >= 0) & m.pt_valid[jnp.clip(row, 0, P - 1)],
+                    row, INVALID)
+    m = m._replace(kf_obs=m.kf_obs.at[kf_id].set(row))
+    m = mapstate.refresh_obs_table(m)
     return m
 
 
@@ -603,12 +621,21 @@ def mapping_pass(cfg: SlamConfig, m: mapstate.MapState, kf_id):
     host previously sequenced ~45 separate dispatches per keyframe — each a
     tunnel round trip — for the same math.
 
-    Returns (m, culled_mask (K,))."""
-    m = cull_map_points(cfg, m)
+    Returns (m, culled_mask (K,)).
+
+    Observation-table discipline: the table is CLEAN at pass entry (every
+    pass exits through a rebuild). Within the pass it goes stale exactly
+    where noted — insert/triangulation binds (rebuilt before fusion),
+    fusion-phase binds (redirected through the final replacement mapping),
+    BA outlier erasures and keyframe culling (covered by the exit rebuild)."""
+    m = cull_map_points(cfg, m, cur_kf=kf_id)
 
     nn = 20 if cfg.sensor == SENSOR_MONOCULAR else 10
     ids, _ = mapstate.covisible_keyframes(m, kf_id, nn)
     m, _ = triangulate_batch(cfg, m, kf_id, ids)
+    # bring the table current (insert + triangulation binds) — fusion's
+    # replacement bookkeeping reads/patches it
+    m = mapstate.refresh_obs_table(m)
 
     # fuse with the two-level neighbor set, both directions
     # (SearchInNeighbors: current points -> each target KF, then the union
@@ -659,7 +686,17 @@ def mapping_pass(cfg: SlamConfig, m: mapstate.MapState, kf_id):
     # resolve replacement chains (a->b, b->c => a->c), then apply once
     mapping = mapping[mapping]
     mapping = mapping[mapping]
-    m = mapstate.replace_points(m, mapping)
+    m = mapstate.replace_points_fast(m, mapping)
+    # fusion-phase binds postdate the table replace_points_fast patched:
+    # redirect the touched rows (fusion targets + the current KF) through
+    # the final mapping so no row keeps a replaced id
+    touched = jnp.concatenate([jnp.clip(tgt_ids, 0, m.capacity_kf - 1),
+                               jnp.asarray(kf_id, jnp.int32)[None]])
+    rows = m.kf_obs[touched]
+    rows = jnp.where(rows >= 0, mapping[jnp.clip(rows, 0, P - 1)], INVALID)
+    rows = jnp.where(m.pt_valid[jnp.clip(rows, 0, P - 1)] & (rows >= 0),
+                     rows, INVALID)
+    m = m._replace(kf_obs=m.kf_obs.at[touched].set(rows))
 
     # refresh point stats after fusion — ONE shared observation rebuild for
     # descriptors/normals, the cached counts, local BA wiring AND keyframe
@@ -669,10 +706,10 @@ def mapping_pass(cfg: SlamConfig, m: mapstate.MapState, kf_id):
     pmask = jnp.zeros((P,), bool).at[
         jnp.where(bound >= 0, bound, P)].set(True, mode="drop")
     obs = mapstate.point_observations(m, 16)
+    m = mapstate.refresh_obs_table(m, obs=obs)
     m = mapstate.update_point_descriptors(m, pmask, obs=obs)
     m = mapstate.update_point_normals(m, pmask, cfg.scale_factors, obs=obs)
-    m = mapstate.update_connections(m, kf_id)
-    m = m._replace(pt_obs_cnt=mapstate.obs_table_counts(m, obs))
+    m = mapstate.update_connections(m, kf_id, use_table=True)
 
     def ba_and_cull(m):
         m = local_ba(cfg, m, kf_id,
@@ -686,6 +723,10 @@ def mapping_pass(cfg: SlamConfig, m: mapstate.MapState, kf_id):
     m, culled = jax.lax.cond(
         m.n_keyframes > 2, ba_and_cull,
         lambda m: (m, jnp.zeros((m.capacity_kf,), bool)), m)
+    # exit rebuild: the table leaves every pass clean (BA outlier erasures +
+    # keyframe culling applied), so the per-frame consumers and the next
+    # pass's erase/replace fast paths can trust it
+    m = mapstate.refresh_obs_table(m)
     return m, culled
 
 
@@ -705,7 +746,8 @@ def keyframe_pass(cfg: SlamConfig, m: mapstate.MapState, cur: FrameData,
     Returns (m, culled (K,) bool, summary (4,) i32). The culled mask is only
     transferred when summary says any_culled (keyframe culling is rare)."""
     m, kf_id = insert_keyframe(cfg, m, cur, Tcw, matched_pt, frame_id,
-                               timestamp, update_stats=False)
+                               timestamp, update_stats=False,
+                               table_fresh=True)
     m, culled = mapping_pass(cfg, m, kf_id)
     summary = jnp.stack([
         jnp.asarray(kf_id, jnp.int32), m.n_keyframes, m.next_kf,

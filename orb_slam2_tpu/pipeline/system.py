@@ -263,7 +263,7 @@ class SlamSystem:
         m = mapstate.update_point_descriptors(m, pmask)
         m = mapstate.update_point_normals(m, pmask, self.cfg.scale_factors)
 
-        m = mapstate.refresh_obs_count(m)
+        m = mapstate.refresh_obs_table(m)
         # full BA on the two views (reference: GBA 20 iters)
         m = self._two_view_ba(m, kf0, kf1)
 

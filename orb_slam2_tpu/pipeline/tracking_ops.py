@@ -38,11 +38,11 @@ def select_local_map(m: mapstate.MapState, matched_pt,
 
     Returns (local_kf (max_kf,), ref_kf, local_pt (max_pts,), masks)."""
     P = m.capacity_pt
-    ind = jnp.zeros((P,), jnp.int32).at[
-        jnp.where(matched_pt >= 0, matched_pt, P)
-    ].max(1, mode="drop")
-    looked = jnp.where(m.kf_obs >= 0, ind[jnp.clip(m.kf_obs, 0, P - 1)], 0)
-    share = jnp.sum(looked, axis=1) * m.kf_valid                   # (K,)
+    # per-keyframe sharing counts from the cached observation table (one
+    # (N,OBS_W) gather+scatter; the (K,N) incidence sweep this replaces was
+    # ~half the fused tracking step's device time)
+    share = mapstate.shared_observers(m, matched_pt, matched_pt >= 0)
+    share = share * m.kf_valid
     ref_kf = jnp.argmax(share)
 
     k1_w, k1_idx = jax.lax.top_k(share, min(max_kf, share.shape[0]))

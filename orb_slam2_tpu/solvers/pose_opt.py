@@ -51,23 +51,32 @@ def _build_normal_eqs(cam, Tcw, Xw, obs, comp_stereo, inv_sigma2, weight_mask,
 
 def _lm_rounds(cam, Tcw, Xw, obs, comp_stereo, inv_sigma2, mask, robust: bool,
                n_iters: int):
-    """One reference 'round': n_iters LM steps at fixed inlier mask."""
+    """One reference 'round': n_iters LM steps at fixed inlier mask.
+
+    ONE normal-equation build per iteration: the build at the accepted pose
+    doubles as the next iteration's linearization (a rejected step reuses the
+    carried H, b — identical to rebuilding at the unchanged pose, which the
+    round-2 version paid a second full residual+Jacobian pass per step for)."""
 
     def body(_, carry):
-        T, lam, prev_err = carry
-        H, b, err = _build_normal_eqs(cam, T, Xw, obs, comp_stereo, inv_sigma2,
-                                      mask, robust)
+        T, lam, H, b, err = carry
         Hd = H + lam * jnp.diag(jnp.diag(H)) + 1e-10 * jnp.eye(6)
         dx = jnp.linalg.solve(Hd, b)
         T_new = se3.retract(T, dx)
-        _, _, err_new = _build_normal_eqs(cam, T_new, Xw, obs, comp_stereo,
-                                          inv_sigma2, mask, robust)
+        H_new, b_new, err_new = _build_normal_eqs(
+            cam, T_new, Xw, obs, comp_stereo, inv_sigma2, mask, robust)
         accept = err_new < err
         T = jnp.where(accept, T_new, T)
-        lam = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-9), jnp.minimum(lam * 4.0, 1e6))
-        return T, lam, jnp.where(accept, err_new, err)
+        H = jnp.where(accept, H_new, H)
+        b = jnp.where(accept, b_new, b)
+        lam = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-9),
+                        jnp.minimum(lam * 4.0, 1e6))
+        return T, lam, H, b, jnp.where(accept, err_new, err)
 
-    T, _, _ = jax.lax.fori_loop(0, n_iters, body, (Tcw, jnp.float32(1e-4), jnp.float32(jnp.inf)))
+    H0, b0, err0 = _build_normal_eqs(cam, Tcw, Xw, obs, comp_stereo,
+                                     inv_sigma2, mask, robust)
+    T, _, _, _, _ = jax.lax.fori_loop(
+        0, n_iters, body, (Tcw, jnp.float32(1e-4), H0, b0, err0))
     return T
 
 

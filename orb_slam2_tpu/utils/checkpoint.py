@@ -41,8 +41,12 @@ def load_map(path: str):
     if "pt_forward" not in fields:
         fields["pt_forward"] = jnp.arange(fields["pt_valid"].shape[0],
                                           dtype=jnp.int32)
+    from ..mapstate.map import OBS_W, refresh_obs_table
+    P = fields["pt_valid"].shape[0]
+    for k in ("obs_kf", "obs_ft"):
+        if k not in fields:
+            fields[k] = jnp.full((P, OBS_W), -1, jnp.int32)
     m = MapState(**fields)
-    if "pt_obs_cnt" not in {k[4:] for k in data.files if k.startswith("map_")}:
-        from ..mapstate.map import refresh_obs_count
-        m = refresh_obs_count(m)
+    # derived caches are rebuilt rather than trusted from disk
+    m = refresh_obs_table(m)
     return m, extra
