@@ -113,7 +113,9 @@ def _proj_match_kernel(pu, pv, pr, plvl, pur, pval, pdesc,
     pl_ = plvl[...]                                    # (T,1) int32
     lvl_ok = (kl >= pl_ - 1) & (kl <= pl_)
     has_st = (pur[...] >= 0.0) & (kur[...] >= 0.0)
-    st_ok = jnp.where(has_st, jnp.abs(pur[...] - kur[...]) < r, True)
+    # pure logical form (a bool jnp.where lowers to an i8->i1 truncation
+    # Mosaic rejects): stereo gate passes when not applicable or within r
+    st_ok = (~has_st) | (jnp.abs(pur[...] - kur[...]) < r)
     cand = win & lvl_ok & st_ok & (pval[...] > 0) & (kval[...] > 0)
 
     dist = jnp.zeros((T, N), jnp.int32)

