@@ -69,7 +69,12 @@ def main():
                   max_local_points=1 << 12, use_pallas=False)
     else:
         fx, W, H, nf = 517.3, 640, 480, 1000
-        kw = dict(use_pallas=True)
+        # capacities sized to the workload (~40 keyframes / <10k points over
+        # 181 frames), like the reference's dynamically-sized containers;
+        # fixed-shape costs that still scale with capacity (compactions,
+        # table blanks) then reflect the actual map, and the chunk-skipped
+        # incidence ops already scale with CONTENT
+        kw = dict(use_pallas=True, max_keyframes=128, max_map_points=1 << 14)
     # loop closing is ON and measured (VERDICT r2 weak #3): per-KF BoW
     # transform, DB add and loop detection are real reference costs
     # (src/LocalMapping.cc:181, src/LoopClosing.cc:137); a loop-triggered GBA

@@ -216,20 +216,12 @@ def update_connections(m: MapState, kf_id, use_table: bool = False):
     spanning-tree parent (best covisible among earlier KFs), mirroring
     `KeyFrame::UpdateConnections` (`src/KeyFrame.cc:411-533`): weights below
     th=15 are kept in the matrix (queries threshold as needed); parent set
-    once (first call with nonzero weights).
-
-    use_table=True reads co-observers from the cached obs table (kf_id's OWN
-    row comes from kf_obs, so a just-inserted keyframe counts correctly) —
-    the hot keyframe-event path uses this; the default sweeps kf_obs and is
-    safe on manually built maps with a stale table."""
-    if use_table:
-        row = m.kf_obs[kf_id]
-        w = shared_observers(m, row, row >= 0)
-    else:
-        ind = point_indicator(m, kf_id)                        # (P,)
-        looked = ind[jnp.clip(m.kf_obs, 0, m.capacity_pt - 1)]  # (K,N)
-        looked = jnp.where(m.kf_obs >= 0, looked, 0)
-        w = jnp.sum(looked, axis=1).astype(jnp.int32)          # (K,)
+    once (first call with nonzero weights). EXACT weights via the
+    chunk-skipped incidence sweep (use_table kept for signature
+    compatibility; both paths are exact)."""
+    del use_table
+    ind = point_indicator(m, kf_id)                            # (P,)
+    w = incidence_counts(m, ind)
     w = jnp.where(m.kf_valid, w, 0)
     w = w.at[kf_id].set(0)
     covis = m.covis.at[kf_id, :].set(w)
@@ -493,31 +485,33 @@ def point_observations(m: MapState, max_obs: int = 16, chunk: int = 64):
     rows_c = kf_obs.reshape(n_chunks, chunk, N)
     valid_c = kf_valid.reshape(n_chunks, chunk)
     k0_c = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
-    CN = chunk * N
-    loc_kf = jnp.repeat(jnp.arange(chunk, dtype=jnp.int32), N)
-    loc_ft = jnp.tile(jnp.arange(N, dtype=jnp.int32), chunk)
 
     def body(carry, inp):
         rows, vmask, k0 = inp
 
         def work(carry):
+            # SORT-FREE within-chunk placement: a keyframe observes a point
+            # at most once (row-unique invariant), so the slot of entry
+            # (r, i) observing p is fill[p] + (# rows r' < r in this chunk
+            # observing p) — an exclusive row-prefix of the presence
+            # histogram. TPU sorts cost ~3x the two scatters this needs.
             obs_kf, obs_ft, fill = carry
-            flat_pt = rows.reshape(-1)
-            key = jnp.where(flat_pt >= 0, flat_pt, P)
-            order = jnp.argsort(key, stable=True)
-            sp = key[order]
-            sk = (k0 + loc_kf)[order]
-            sf = loc_ft[order]
-            seg_start = jnp.searchsorted(sp, jnp.arange(P), side="left")
-            seg_end = jnp.searchsorted(sp, jnp.arange(P), side="right")
-            base = fill[jnp.clip(sp, 0, P - 1)]
-            pos = jnp.arange(CN) - seg_start[jnp.clip(sp, 0, P - 1)] + base
-            keep = (sp < P) & (pos < max_obs)
-            ridx = jnp.where(keep, sp, P)
+            r_iota = jax.lax.broadcasted_iota(jnp.int32, rows.shape, 0)
+            on = rows >= 0
+            pt = jnp.clip(rows, 0, P - 1)
+            H = jnp.zeros((chunk, P), jnp.int32).at[
+                jnp.where(on, r_iota, chunk), pt
+            ].set(1, mode="drop")
+            Cex = jnp.cumsum(H, axis=0) - H                   # exclusive
+            pos = fill[pt] + Cex[jnp.clip(r_iota, 0, chunk - 1), pt]
+            keep = on & (pos < max_obs)
+            ridx = jnp.where(keep, pt, P)
             cidx = jnp.where(keep, jnp.clip(pos, 0, max_obs - 1), 0)
-            obs_kf = obs_kf.at[ridx, cidx].set(sk, mode="drop")
-            obs_ft = obs_ft.at[ridx, cidx].set(sf, mode="drop")
-            fill = fill + (seg_end - seg_start)
+            obs_kf = obs_kf.at[ridx, cidx].set(k0 + r_iota, mode="drop")
+            obs_ft = obs_ft.at[ridx, cidx].set(
+                jax.lax.broadcasted_iota(jnp.int32, rows.shape, 1),
+                mode="drop")
+            fill = fill + jnp.sum(H, axis=0)
             return obs_kf, obs_ft, fill
 
         carry = jax.lax.cond(jnp.any(vmask), work, lambda c: c, carry)
@@ -545,15 +539,49 @@ def refresh_obs_table(m: MapState, obs=None) -> MapState:
         m, (m.obs_kf, m.obs_ft, m.obs_kf >= 0)))
 
 
+def incidence_counts(m: MapState, ind, chunk: int = 64):
+    """(K,) per-keyframe sums of a point indicator over the observation
+    incidence: w[k] = sum_i ind[kf_obs[k, i]]. EXACT (no observation-table
+    truncation — covisibility weights feed the w>=100 essential-graph edge
+    set and the w>=15 neighbor sets, where undercounting breaks loop
+    closing), but chunk-skipped like point_observations: only chunks holding
+    valid keyframes pay their (chunk*N) gather."""
+    K, N = m.kf_obs.shape
+    P = m.capacity_pt
+    chunk = min(chunk, K)
+    n_chunks = -(-K // chunk)
+    Kp = n_chunks * chunk
+    kf_obs = m.kf_obs if Kp == K else jnp.concatenate(
+        [m.kf_obs, jnp.full((Kp - K, N), INVALID, jnp.int32)])
+    kf_valid = m.kf_valid if Kp == K else jnp.concatenate(
+        [m.kf_valid, jnp.zeros((Kp - K,), bool)])
+    rows_c = kf_obs.reshape(n_chunks, chunk, N)
+    valid_c = kf_valid.reshape(n_chunks, chunk)
+
+    def body(carry, inp):
+        rows, vmask = inp
+
+        def work(_):
+            g = ind[jnp.clip(rows, 0, P - 1)]
+            return jnp.sum(jnp.where(rows >= 0, g, 0), axis=1).astype(
+                jnp.int32)
+
+        w = jax.lax.cond(jnp.any(vmask), work,
+                         lambda _: jnp.zeros((chunk,), jnp.int32), None)
+        return carry, w
+
+    _, w = jax.lax.scan(body, (), (rows_c, valid_c))
+    return w.reshape(Kp)[:K]
+
+
 def shared_observers(m: MapState, point_ids, point_mask):
-    """(K,) count of the given map points observed per keyframe, read from
-    the cached table: one (B, OBS_W) gather + scatter instead of sweeping the
-    (K,N) incidence (UpdateLocalKeyFrames / UpdateConnections inner loop)."""
-    K = m.capacity_kf
-    rows = m.obs_kf[jnp.clip(point_ids, 0, m.capacity_pt - 1)]   # (B,W)
-    on = (rows >= 0) & point_mask[:, None]
-    return jnp.zeros((K,), jnp.int32).at[
-        jnp.where(on, rows, K)].add(1, mode="drop")
+    """(K,) count of the given map points observed per keyframe — EXACT via
+    incidence_counts (the cached table caps at OBS_W observers per point and
+    undercounts covisibility in revisit regions)."""
+    P = m.capacity_pt
+    ind = jnp.zeros((P,), jnp.int32).at[
+        jnp.where(point_mask, point_ids, P)].max(1, mode="drop")
+    return incidence_counts(m, ind)
 
 
 def obs_table_counts(m: MapState, obs) -> jnp.ndarray:
