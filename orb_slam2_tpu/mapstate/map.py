@@ -352,31 +352,44 @@ def erase_points_fast(m: MapState, point_mask, extra_row=None,
     and clear exactly its (kf, feat) entries — a (max_killed, OBS_W) scatter
     instead of the full (K,N) incidence sweep. extra_row: a keyframe id whose
     row is additionally swept directly (the just-inserted keyframe, whose
-    bindings postdate the table). Killed points beyond max_killed (far above
-    any real culling round) keep dangling kf_obs entries until the
-    end-of-pass table rebuild; consumers mask by pt_valid."""
+    bindings postdate the table).
+
+    A killed point whose table row is FULL may have >OBS_W observations the
+    table doesn't list — clearing only the listed ones leaves dangling
+    kf_obs entries that permanently block those features from triangulation
+    (this starved monocular mapping, where ratio-culling kills well-observed
+    points). Any full-row kill (or >max_killed overflow) falls back to the
+    full incidence sweep under a lax.cond — paid only when it happens."""
     K = m.capacity_kf
     P = m.capacity_pt
     kill = point_mask & m.pt_valid
     sel, ok = compact_mask(kill, max_killed)
     rows_kf = m.obs_kf[sel]
     rows_ft = m.obs_ft[sel]
-    on = (rows_kf >= 0) & ok[:, None]
-    kf_obs = m.kf_obs.at[
-        jnp.where(on, rows_kf, K), jnp.where(on, rows_ft, 0)
-    ].set(INVALID, mode="drop")
-    if extra_row is not None:
-        row = kf_obs[extra_row]
-        row = jnp.where((row >= 0) & kill[jnp.clip(row, 0, P - 1)],
-                        INVALID, row)
-        kf_obs = kf_obs.at[extra_row].set(row)
-    blank = jnp.full((max_killed, OBS_W), INVALID, jnp.int32)
-    si = jnp.where(ok, sel, P)
+    full_rows = jnp.any(ok & jnp.all(rows_kf >= 0, axis=1))
+    overflow = full_rows | (jnp.sum(kill.astype(jnp.int32)) > max_killed)
+
+    def slow(m):
+        obs_clear = kill[jnp.clip(m.kf_obs, 0, P - 1)] & (m.kf_obs >= 0)
+        return m._replace(kf_obs=jnp.where(obs_clear, INVALID, m.kf_obs))
+
+    def fast(m):
+        on = (rows_kf >= 0) & ok[:, None]
+        kf_obs = m.kf_obs.at[
+            jnp.where(on, rows_kf, K), jnp.where(on, rows_ft, 0)
+        ].set(INVALID, mode="drop")
+        if extra_row is not None:
+            row = kf_obs[extra_row]
+            row = jnp.where((row >= 0) & kill[jnp.clip(row, 0, P - 1)],
+                            INVALID, row)
+            kf_obs = kf_obs.at[extra_row].set(row)
+        return m._replace(kf_obs=kf_obs)
+
+    m = jax.lax.cond(overflow, slow, fast, m)
     return m._replace(
-        kf_obs=kf_obs,
         pt_valid=m.pt_valid & ~kill,
-        obs_kf=m.obs_kf.at[si].set(blank, mode="drop"),
-        obs_ft=m.obs_ft.at[si].set(blank, mode="drop"),
+        obs_kf=jnp.where(kill[:, None], INVALID, m.obs_kf),
+        obs_ft=jnp.where(kill[:, None], INVALID, m.obs_ft),
     )
 
 
@@ -410,11 +423,32 @@ def replace_points_fast(m: MapState, mapping, max_replaced: int = 2048):
         s_kf[:, :, None] == jnp.where(t_on, t_kf, -2)[:, None, :],
         axis=2) & s_on
 
-    # rewrite the source observations in kf_obs
-    newval = jnp.where(dup, INVALID, tgt[:, None])
-    kf_obs = m.kf_obs.at[
-        jnp.where(s_on, s_kf, K), jnp.where(s_on, s_ft, 0)
-    ].set(jnp.broadcast_to(newval, s_kf.shape), mode="drop")
+    # a replaced source with a FULL table row may hold observations beyond
+    # OBS_W: rewrite via the full incidence sweep instead (rare — fusion
+    # losers have fewer observations than winners by construction)
+    overflow = jnp.any(ok & jnp.all(s_kf >= 0, axis=1)) | \
+        (jnp.sum(replaced.astype(jnp.int32)) > max_replaced)
+
+    def slow(kf_obs):
+        redirected = jnp.where(
+            kf_obs >= 0, mapping[jnp.clip(kf_obs, 0, P - 1)], INVALID)
+        # duplicate rule: where the row already held the target, the moved
+        # (source) entry is erased — detect entries that CHANGED and collide
+        # with an unchanged entry's value via the per-target table row
+        changed = redirected != kf_obs
+        trow = m.obs_kf[jnp.clip(redirected, 0, P - 1)]       # (K,N,W)
+        krow = jnp.arange(K, dtype=jnp.int32)[:, None, None]
+        already = jnp.any((trow == krow) & (trow >= 0), axis=-1)
+        dup_entry = changed & (kf_obs >= 0) & already
+        return jnp.where(dup_entry, INVALID, redirected)
+
+    def fast(kf_obs):
+        newval = jnp.where(dup, INVALID, tgt[:, None])
+        return kf_obs.at[
+            jnp.where(s_on, s_kf, K), jnp.where(s_on, s_ft, 0)
+        ].set(jnp.broadcast_to(newval, s_kf.shape), mode="drop")
+
+    kf_obs = jax.lax.cond(overflow, slow, fast, m.kf_obs)
 
     # patch the table: target rows gain the source's non-duplicate entries
     add_kf = jnp.where(s_on & ~dup, s_kf, INVALID)
