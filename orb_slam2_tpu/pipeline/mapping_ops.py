@@ -296,7 +296,7 @@ def _triangulate_decide(cfg: SlamConfig, m: mapstate.MapState, kf1, kf2,
     order = jnp.argsort(jnp.where(create, best, 1 << 20))
     rank = jnp.zeros((N,), jnp.int32).at[order].set(jnp.arange(N, dtype=jnp.int32))
     create = create & (rank < max_new)
-    return create, X, i2, best
+    return create, X, i2, best, cos_par
 
 
 def _commit_new_points(cfg: SlamConfig, m: mapstate.MapState, kf1,
@@ -350,7 +350,7 @@ def triangulate_with_neighbor(cfg: SlamConfig, m: mapstate.MapState,
     """Create new map points between keyframe kf1 (current) and covisible
     kf2 (single-neighbor form; the mapping pass uses the batched
     triangulate_batch)."""
-    create, X, i2, best = _triangulate_decide(cfg, m, kf1, kf2, max_new)
+    create, X, i2, best, _ = _triangulate_decide(cfg, m, kf1, kf2, max_new)
     nb = jnp.broadcast_to(jnp.asarray(kf2, jnp.int32), create.shape)
     return _commit_new_points(cfg, m, kf1, nb, create, X, i2, best)
 
@@ -365,14 +365,21 @@ def triangulate_batch(cfg: SlamConfig, m: mapstate.MapState, kf1,
     writes); each kf1 feature then takes its best-scoring neighbor match
     (the sequential loop's first-come binding exclusion, resolved by match
     quality instead of covisibility order) and everything commits in ONE
-    allocation + scatter round. neighbor_ids: (nn,), -1 padded."""
+    allocation + scatter round. neighbor_ids: (nn,), -1 padded.
+
+    Winner rule: a kf1 feature proposed by several neighbors takes the FIRST
+    in covisibility order — exactly the reference's sequential loop, which
+    binds with the highest-covisibility neighbor first and skips the feature
+    afterwards (src/LocalMapping.cc:300-336). A/B on the monocular circle:
+    picking by best descriptor distance or by largest parallax instead
+    produced measurably noisier points (wide-baseline matches triangulate
+    wrong matches confidently) until tracking collapsed mid-sequence."""
     decide = lambda nb: _triangulate_decide(
         cfg, m, kf1, jnp.maximum(nb, 0), max_new)
-    create_b, X_b, i2_b, best_b = jax.vmap(decide)(neighbor_ids)   # (nn,N,..)
+    create_b, X_b, i2_b, best_b, cos_b = jax.vmap(decide)(neighbor_ids)
     create_b = create_b & (neighbor_ids >= 0)[:, None]
     N = m.n_feat
-    key = jnp.where(create_b, best_b, matching.BIG)
-    winner = jnp.argmin(key, axis=0)                               # (N,)
+    winner = jnp.argmax(create_b, axis=0)   # first True = covis order
     rows = jnp.arange(N)
     create = create_b[winner, rows]
     X = X_b[winner, rows]
