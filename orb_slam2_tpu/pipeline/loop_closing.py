@@ -334,19 +334,22 @@ def correct_loop(cfg: SlamConfig, m: mapstate.MapState, kf_id: int,
     m, group = _propagate_and_fuse(cfg, m, kf_id, cand_id, Scm)
 
     # 2. fuse loop points: project candidate's neighborhood points into the
-    # current group keyframes (SearchAndFuse with th=4)
-    cand_group = np.nonzero(np.asarray(
-        (m.covis[cand_id] > 0) & m.kf_valid))[0].tolist() + [cand_id]
-    loop_pts = jnp.full((m.capacity_pt,), False)
-    for k in cand_group[:10]:
-        row = m.kf_obs[int(k)]
-        loop_pts = loop_pts.at[jnp.where(row >= 0, row, m.capacity_pt)].set(
-            True, mode="drop")
-    loop_pt_ids = jnp.nonzero(loop_pts, size=m.capacity_pt // 4,
-                              fill_value=INVALID)[0]
+    # current group keyframes (SearchAndFuse with th=4). The candidate
+    # group's point set is gathered in ONE vectorized op (top-10 covisible
+    # rows); the python loop remains only over the current group's keyframes
+    # (each fuse mutates bindings the next depends on).
+    K = m.capacity_kf
+    w_cand = jnp.where(m.kf_valid, m.covis[cand_id], 0).at[cand_id].set(1 << 20)
+    _, cg_ids = jax.lax.top_k(w_cand, 10)
+    cg_rows = m.kf_obs[cg_ids]                         # (10, N)
+    loop_pts = jnp.zeros((m.capacity_pt,), bool).at[
+        jnp.where(cg_rows >= 0, cg_rows, m.capacity_pt).reshape(-1)
+    ].set(True, mode="drop") & m.pt_valid
+    loop_pt_ids, loop_ok = mapstate.compact_mask(loop_pts, m.capacity_pt // 4)
     for k in np.nonzero(np.asarray(group))[0]:
         m = mapping_ops.fuse_into_keyframe(
-            cfg, m, int(k), loop_pt_ids, loop_pt_ids >= 0)
+            cfg, m, int(k), loop_pt_ids, loop_ok)
+    m = mapstate.refresh_obs_table(m)
 
     # 3. persist the loop edge (KeyFrame::AddLoopEdge, src/KeyFrame.cc:591-599:
     # it feeds every later essential-graph solve and protects both endpoints

@@ -476,12 +476,13 @@ def fuse_into_keyframe(cfg: SlamConfig, m: mapstate.MapState, kf_id, pt_ids,
         jnp.arange(P, dtype=jnp.int32), src, tgt, both, src_wins, P)
     m = mapstate.replace_points_fast(m, mapping)
     m = mapstate.bind_observations(m, kf_id, idx, src, bind)
-    # the new binds postdate the table; leave consistent for the next round
+    # a bind whose point lost a replacement duel in this same call would
+    # dangle: mask by validity (the caller refreshes the table after its
+    # last fuse round — each call's ENTRY refresh covers chains of calls)
     row = m.kf_obs[kf_id]
     row = jnp.where((row >= 0) & m.pt_valid[jnp.clip(row, 0, P - 1)],
                     row, INVALID)
     m = m._replace(kf_obs=m.kf_obs.at[kf_id].set(row))
-    m = mapstate.refresh_obs_table(m)
     return m
 
 
