@@ -303,6 +303,32 @@ def forward_trajectory(n_frames, speed=0.12, curve_period=400.0,
     return poses
 
 
+def figure_eight_trajectory(n_frames, radius=3.0, dwell=0.08):
+    """Two tangent circles traversed in sequence (a figure eight through the
+    origin): lap A around (-r, 0), then lap B around (+r, 0), velocity-
+    continuous at the crossover. Each lap overshoots by `dwell` of a turn so
+    place recognition sees several consecutive revisit keyframes. Produces
+    TWO genuinely distinct loop closures (a multi-lap circle only produces
+    one: after the first correction the map is connected and revisits are
+    tracked covisibly, so no further 'loop' exists — same as the reference)."""
+    per = n_frames // 2
+    total = 2 * np.pi * (1.0 + dwell)
+    poses = []
+    for i in range(n_frames):
+        if i < per:
+            a = total * i / per
+            x = -radius + radius * np.cos(a)
+            y = radius * np.sin(a)
+        else:
+            a = total * (i - per) / (n_frames - per)
+            x = radius - radius * np.cos(a)
+            y = radius * np.sin(a)
+        T = np.eye(4)
+        T[:3, 3] = [x, y, 0.0]
+        poses.append(T)
+    return poses
+
+
 def ate_rmse(est_poses, gt_poses, align=True, with_scale=False):
     """Absolute trajectory error after (optional) Umeyama alignment.
 
