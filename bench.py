@@ -93,15 +93,22 @@ def main():
     # measured lap then shows steady-state tracking with loop closing live
     # (post-closure detection, DB queries, GBA chunk tails) but without
     # first-compile noise.
+    # spiral=0.12: after the closure the camera keeps surveying fresh
+    # adjacent ground instead of exactly retracing lap 1
     n_frames = n_build + 4 * n_eval + 1
     gt = loop_trajectory(n_frames, radius=3.0 * n_frames / 150.0,
-                         overshoot=0.5)
+                         overshoot=0.5, spiral=0.12)
     frames = [(jax.device_put(jnp.asarray(i), dev),
                jax.device_put(jnp.asarray(d), dev))
               for i, d in (world.render_with_depth(T) for T in gt)]
 
     # ---- build a genuinely populated map (forced KF every 3rd frame) ----
-    s = SlamSystem(cfg, enable_loop_closing=True)
+    # place recognition runs at REFERENCE scale: a complete k=10/depth=6 tree
+    # (10^6 words — the ORBvoc.txt shape, src/System.cc:58-77); the tiny
+    # on-the-fly vocabulary aliased badly enough to spam Sim3 attempts
+    from orb_slam2_tpu.bow.vocabulary import synth_vocabulary
+    voc = synth_vocabulary(k=10, depth=6, device=dev) if not small else None
+    s = SlamSystem(cfg, vocabulary=voc, enable_loop_closing=True)
     orig_need = s._need_kf_from_scalars
     s._force_kf = False
     s._need_kf_from_scalars = \
@@ -114,6 +121,28 @@ def main():
     s._force_kf = False
     log(f"map built in {time.time()-t0:.0f}s: kf={int(s.m.n_keyframes)} "
         f"pts={int(s.m.n_points)}")
+
+    # ---- pre-compile the loop-closing path on a throwaway copy ----
+    # (detection fires naturally in the warm arcs, but Sim3 + correction +
+    # pose graph + GBA would otherwise compile on FIRST loop closure — 30-120s
+    # of tunnel compiles attributed to whatever lap the closure lands in)
+    t0 = time.time()
+    from orb_slam2_tpu.pipeline import loop_closing as lc
+    from orb_slam2_tpu.geometry.sim3 import Sim3
+    mw = jax.tree.map(jnp.copy, s.m)
+    covis = np.asarray(mw.covis)
+    valid = np.asarray(mw.kf_valid)
+    a = int(np.argmax(valid))
+    b = int(np.argmax(np.where(valid, covis[a], -1)))
+    ok, Scm, n_inl = lc.compute_sim3(cfg, mw, a, b)
+    if Scm is None:
+        Scm = Sim3.from_se3(mw.kf_pose[a] @ jnp.linalg.inv(mw.kf_pose[b]))
+    mw = lc.correct_loop(cfg, mw, a, b, Scm, run_gba=False)
+    n = max(1, -(-cfg.gba_total_iters // cfg.gba_async_chunks))
+    mw = lc.run_global_ba(cfg, mw, n_iters=n)
+    _ = jax.device_get(mw.kf_pose[0])
+    del mw
+    log(f"loop-closing path pre-compiled in {time.time()-t0:.0f}s")
 
     # ---- steady-state: the system's own per-frame call, natural KF policy ----
     def run_eval(i0):

@@ -103,7 +103,14 @@ def _detect_loop_device(cfg: SlamConfig, m: mapstate.MapState, db, bow_vec,
     c_acc = jnp.where(consistent, acc, -1.0)
     best_acc, best_ids = jax.lax.top_k(c_acc, MAX_LOOP_CANDIDATES)
     cands = jnp.where(best_acc > 0, best_ids, INVALID).astype(jnp.int32)
-    return cands, new_groups, new_cons
+    # fold ComputeSim3's first gate (SearchByBoW >= 20 matches) into the
+    # same dispatch, only evaluated when there are candidates — BoW-aliased
+    # candidates then die without a host-sequenced compute_sim3 round each
+    counts = jax.lax.cond(
+        jnp.any(cands >= 0),
+        lambda: bow_match_counts(cfg, m, kf_id, cands),
+        lambda: jnp.zeros((MAX_LOOP_CANDIDATES,), jnp.int32))
+    return jnp.where(counts >= 20, cands, INVALID), new_groups, new_cons
 
 
 def detect_loop_dispatch(cfg: SlamConfig, m: mapstate.MapState, db, bow_vec,
@@ -129,6 +136,34 @@ def detect_loop(cfg: SlamConfig, m: mapstate.MapState, db, bow_vec, kf_id: int,
         return []
     cands = np.asarray(detect_loop_dispatch(cfg, m, db, bow_vec, kf_id, state))
     return [int(c) for c in cands if c >= 0]
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def bow_match_counts(cfg: SlamConfig, m: mapstate.MapState, kf_id, cand_ids):
+    """ComputeSim3's first gate for ALL candidates in one dispatch: the
+    SearchByBoW match count vs each candidate (the reference discards
+    candidates with <20 matches before any RANSAC,
+    `src/LoopClosing.cc:336-356`). Host-sequencing compute_sim3 per aliased
+    candidate paid ~2 tunnel syncs each; this is one."""
+    def one(cand):
+        c = jnp.maximum(cand, 0)
+        f_ok1 = m.kf_feat_valid[kf_id] & (m.kf_obs[kf_id] >= 0)
+        f_ok2 = m.kf_feat_valid[c] & (m.kf_obs[c] >= 0)
+        mm = matching.search_by_node(
+            jnp.where(f_ok1, 0, -1), m.kf_desc[kf_id], f_ok1,
+            m.kf_angle[kf_id],
+            jnp.where(f_ok2, 0, -1), m.kf_desc[c], f_ok2, m.kf_angle[c],
+            nn_ratio=0.75)
+        pt1 = m.kf_obs[kf_id]
+        pt2 = m.kf_obs[c][jnp.clip(mm.idx, 0, m.n_feat - 1)]
+        P = m.capacity_pt
+        valid = mm.valid & (pt1 >= 0) & (pt2 >= 0) & \
+            m.pt_valid[jnp.clip(pt1, 0, P - 1)] & \
+            m.pt_valid[jnp.clip(pt2, 0, P - 1)]
+        return jnp.sum(valid.astype(jnp.int32))
+
+    counts = jax.lax.map(one, cand_ids)
+    return jnp.where(cand_ids >= 0, counts, 0)
 
 
 def compute_sim3(cfg: SlamConfig, m: mapstate.MapState, kf_id: int,

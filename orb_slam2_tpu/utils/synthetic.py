@@ -252,20 +252,26 @@ def survey_trajectory(n_frames, extent=10.0, rows=6, row_overlap_frames=8):
     return poses
 
 
-def loop_trajectory(n_frames, radius=3.0, overshoot=0.3):
+def loop_trajectory(n_frames, radius=3.0, overshoot=0.3, spiral=0.0):
     """Closed circular survey over the plane: the camera translates around a
     circle of `radius` in the x-y plane (optical axis fixed toward the
     plane), returning to the starting view after one revolution and
     continuing `overshoot` of a second lap — the revisit region that lets
     place recognition fire on several consecutive keyframes (the loop-closing
     consistency gate needs >= 3). Views midway around the circle see disjoint
-    texture, so the revisit is only reachable through BoW retrieval."""
+    texture, so the revisit is only reachable through BoW retrieval.
+
+    spiral > 0 grows the radius by that fraction per revolution: the lap-2
+    overshoot then surveys fresh adjacent ground instead of exactly
+    retracing lap 1 (exploration continues after the closure — the aerial
+    spiral-survey pattern)."""
     total = 2.0 * np.pi * (1.0 + overshoot)
     poses = []
     for i in range(n_frames):
         a = total * i / n_frames
+        r = radius * (1.0 + spiral * a / (2.0 * np.pi))
         T = np.eye(4)
-        T[:3, 3] = [radius * np.cos(a) - radius, radius * np.sin(a), 0.0]
+        T[:3, 3] = [r * np.cos(a) - radius, r * np.sin(a), 0.0]
         poses.append(T)
     return poses
 
