@@ -191,6 +191,11 @@ def main():
     if kf_stages:
         log("last KF event stage wall ms: " + str(
             {k: round(v, 1) for k, v in kf_stages[-1].items()}))
+    for m_ in s.metrics[-n_eval:]:
+        if m_.get("kf"):
+            log(f"  KF@{m_['frame']}: inl={m_['inliers']} "
+                f"ref={m_.get('ref_matches')} closeT={m_.get('close_tracked')} "
+                f"closeU={m_.get('close_untracked')}")
 
     print(json.dumps({
         "metric": "tracking_fps_per_chip",

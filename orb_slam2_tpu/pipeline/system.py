@@ -634,6 +634,9 @@ class SlamSystem:
                 self._chain = None
             self.metrics.append(dict(frame=fid, state="OK", kf=True,
                                      inliers=n_local,
+                                     ref_matches=int(sc[4]),
+                                     close_tracked=int(sc[5]),
+                                     close_untracked=int(sc[6]),
                                      n_kf=self._nkf_cache(),
                                      stage_ms=self.stage_ms))
         else:
