@@ -94,12 +94,12 @@ def main():
     # (post-closure detection, DB queries, GBA chunk tails) but without
     # first-compile noise.
     # spiral=0.12: after the closure the camera keeps surveying fresh
-    # adjacent ground instead of exactly retracing lap 1. radius fixed at
-    # 3.0: with overshoot 0.5 + spiral growth the arc step stays at the
-    # 0.16-0.18 m/frame the motion model bootstraps from (0.19+ lost
-    # tracking mid-build at VGA/517px focal)
+    # adjacent ground instead of exactly retracing lap 1. radius scales with
+    # the frame count so the arc step stays at the 0.16-0.18 m/frame the
+    # motion model bootstraps from (0.19+ lost tracking at VGA/517px focal)
     n_frames = n_build + 4 * n_eval + 1
-    gt = loop_trajectory(n_frames, radius=3.0, overshoot=0.5, spiral=0.12)
+    gt = loop_trajectory(n_frames, radius=3.0 * n_frames / 181.0,
+                         overshoot=0.5, spiral=0.12)
     frames = [(jax.device_put(jnp.asarray(i), dev),
                jax.device_put(jnp.asarray(d), dev))
               for i, d in (world.render_with_depth(T) for T in gt)]

@@ -395,7 +395,7 @@ def triangulate_batch(cfg: SlamConfig, m: mapstate.MapState, kf1,
 # ---------------------------------------------------------------------------
 
 def _fuse_decide(cfg: SlamConfig, m: mapstate.MapState, cnt, kf_id, pt_ids,
-                 pt_sel):
+                 pt_sel, use_pallas=None):
     """Match/decide half of ORBmatcher::Fuse without map mutation: project
     pt_ids into keyframe kf_id, match, and classify each hit as a bind (the
     keypoint is unbound) or a replacement pair. cnt: (P,) observation counts.
@@ -436,7 +436,8 @@ def _fuse_decide(cfg: SlamConfig, m: mapstate.MapState, cnt, kf_id, pt_ids,
         m.pt_desc[jnp.clip(pt_ids, 0, m.capacity_pt - 1)], valid, ur_proj,
         m.kf_xy[kf_id], m.kf_level[kf_id], m.kf_desc[kf_id],
         m.kf_feat_valid[kf_id], m.kf_ur[kf_id],
-        cfg.scale_factors, th=3.0, nn_ratio=1.0, use_pallas=cfg.use_pallas)
+        cfg.scale_factors, th=3.0, nn_ratio=1.0,
+        use_pallas=cfg.use_pallas if use_pallas is None else use_pallas)
 
     tgt_pt = m.kf_obs[kf_id][jnp.clip(mm.idx, 0, m.n_feat - 1)]
     src = jnp.clip(pt_ids, 0, m.capacity_pt - 1)
@@ -657,28 +658,51 @@ def mapping_pass(cfg: SlamConfig, m: mapstate.MapState, kf_id):
     P = m.capacity_pt
     cnt = m.pt_obs_cnt   # cached snapshot (kept current by insert/triangulate)
 
-    def fuse_body(carry, nb):
-        kf_obs, mapping = carry
+    # decide rounds for ALL targets against the same snapshot, vmapped in
+    # chunks (a decide only reads its own target's row, so the sequential
+    # scan's threading was never load-bearing; 30-60 sequential rounds were).
+    # Chunks holding no valid target are skipped at runtime.
+    CH = 5
+    T0 = tgt_ids.shape[0]
+    Tp = -(-T0 // CH) * CH
+    ids_p = jnp.concatenate(
+        [tgt_ids, jnp.full((Tp - T0,), INVALID, jnp.int32)]) if Tp != T0 \
+        else tgt_ids
+    ids_c = ids_p.reshape(-1, CH)
 
-        def run(args):
-            kf_obs, mapping = args
-            nbs = jnp.maximum(nb, 0)
-            mloc = m._replace(kf_obs=kf_obs)
-            idx, bind, src, tgt, both, src_wins = _fuse_decide(
-                cfg, mloc, cnt, nbs, cur_pts, cur_pts >= 0)
-            mapping = _fuse_mapping_update(mapping, src, tgt, both,
-                                           src_wins, P)
-            row = kf_obs[nbs]
-            row = row.at[jnp.where(bind, idx, m.n_feat)].set(src, mode="drop")
-            return kf_obs.at[nbs].set(row), mapping
+    def decide(nb):
+        # XLA matcher inside vmap (batching a pallas_call adds a grid axis
+        # Mosaic handles less predictably; the chunked vmap already
+        # amortizes the launch overhead the kernel existed to dodge)
+        return _fuse_decide(cfg, m, cnt, jnp.maximum(nb, 0), cur_pts,
+                            cur_pts >= 0, use_pallas=False)
 
-        carry = jax.lax.cond(nb >= 0, run, lambda a: a, (kf_obs, mapping))
-        return carry, ()
+    N = m.n_feat
+    zero = (jnp.zeros((CH, N), jnp.int32), jnp.zeros((CH, N), bool),
+            jnp.zeros((CH, N), jnp.int32), jnp.zeros((CH, N), jnp.int32),
+            jnp.zeros((CH, N), bool), jnp.zeros((CH, N), bool))
 
-    mapping0 = jnp.arange(P, dtype=jnp.int32)
-    (kf_obs, mapping), _ = jax.lax.scan(fuse_body, (m.kf_obs, mapping0),
-                                        tgt_ids)
-    m = m._replace(kf_obs=kf_obs)
+    def chunk_body(_, nbs):
+        out = jax.lax.cond(jnp.any(nbs >= 0),
+                           lambda: jax.vmap(decide)(nbs), lambda: zero)
+        return (), out
+
+    _, outs = jax.lax.scan(chunk_body, (), ids_c)
+    idx_b, bind_b, src_b, tgt_b, both_b, sw_b = (
+        o.reshape(Tp, N) for o in outs)
+    t_on = (ids_p >= 0)[:, None]
+    # neighbor-row binds: disjoint rows per target -> ONE 2D scatter
+    okb = bind_b & t_on
+    m = m._replace(kf_obs=m.kf_obs.at[
+        jnp.where(okb, jnp.clip(ids_p, 0, m.capacity_kf - 1)[:, None],
+                  m.capacity_kf),
+        jnp.where(okb, idx_b, 0)].set(src_b, mode="drop"))
+    # fold all replacement pairs into one mapping (conflicts last-wins, the
+    # same nondeterminism class as the reference's thread-order)
+    mapping = _fuse_mapping_update(
+        jnp.arange(P, dtype=jnp.int32), src_b.reshape(-1),
+        tgt_b.reshape(-1), (both_b & t_on).reshape(-1),
+        sw_b.reshape(-1), P)
 
     # union of target KFs' points (vpFuseCandidates) -> fuse into current
     rows = m.kf_obs[jnp.clip(tgt_ids, 0, m.capacity_kf - 1)]

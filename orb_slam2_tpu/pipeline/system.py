@@ -611,28 +611,32 @@ class SlamSystem:
                    self._need_kf_from_scalars(sc, fid=fid))
         self._record(timestamp, T_rel, self.ref_kf, False)
         if need_kf:
-            # Insert the keyframe from the retired frame WITHOUT draining the
-            # pipeline: frames already in flight keep tracking against the
-            # pre-KF snapshot and see the new keyframe `depth` frames late —
-            # exactly the reference's LocalMapping-in-its-own-thread
-            # relaxation (src/LocalMapping.cc:71-159; a tracked frame often
-            # doesn't see the keyframe its predecessor spawned). Their
-            # bindings stay safe across fusion/culling because the tracking
-            # step resolves ids through m.pt_forward. Draining here (the
-            # round-2 design) serialized a device_get per in-flight frame
-            # plus a full chain rebuild on EVERY keyframe and made the
-            # stream slower than the synchronous path.
+            # Drain the (short) in-flight queue and insert the keyframe from
+            # the NEWEST tracked frame (the reference's CreateNewKeyFrame
+            # also snapshots the CURRENT frame, src/Tracking.cc:1638), then
+            # rebuild the chain from the keyframe's post-mapping bindings.
+            # The drain is nearly free now: every retire payload was
+            # prefetched with copy_to_host_async at dispatch, so the
+            # device_gets return from host memory (round 2 measured them as
+            # serialized tunnel RTTs and dropped the drain — which starved
+            # the next frames of the keyframe's new map points: the chain
+            # kept motion-modeling against the PRE-KF bindings, the inlier/
+            # ref-matches ratio stayed ~0.5, and the stream inserted a
+            # keyframe every blackout window. The reference hands the new
+            # points to the next frame through mCurrentFrame.mvpMapPoints,
+            # src/Tracking.cc:1702-1712 — _set_last is that handoff.)
+            newest = self._drain_pipeline(record_lost=False)
+            if newest is not None:
+                ts2, fid2, res2, Tcw2 = newest
+            else:
+                ts2, fid2, res2, Tcw2 = timestamp, fid, res, Tcw
             Tcw_kf, matched_kf, corrected = self._handle_keyframe(
-                res.frame, Tcw, res.matched_pt, fid, timestamp)
+                res2.frame, Tcw2, res2.matched_pt, fid2, ts2)
+            self._set_last(res2.frame, np.asarray(Tcw_kf), matched_kf)
+            self._chain = None
             # no KF decisions for frames dispatched before this insertion
             self._kf_blackout_fid = self.frame_id
-            if corrected:
-                # loop closure / GBA rewrote poses: in-flight frames chained
-                # from stale poses — drain them and rebuild from host state
-                self._drain_pipeline(record_lost=False)
-                self._set_last(res.frame, np.asarray(Tcw_kf), matched_kf)
-                self._chain = None
-            self.metrics.append(dict(frame=fid, state="OK", kf=True,
+            self.metrics.append(dict(frame=fid2, state="OK", kf=True,
                                      inliers=n_local,
                                      ref_matches=int(sc[4]),
                                      close_tracked=int(sc[5]),
