@@ -802,7 +802,13 @@ class SlamSystem:
         c1c = cfg.sensor != SENSOR_MONOCULAR and \
             (n_inliers < ref_matches * 0.25 or need_close)
         c2 = (n_inliers < ref_matches * th_ratio or need_close) and n_inliers > 15
-        return bool((c1a or c1b or c1c) and c2)
+        if not ((c1a or c1b or c1c) and c2):
+            return False
+        # bLocalMappingIdle stand-in (src/Tracking.cc:1546-1567): while the
+        # mapper is "busy" only the urgent stereo condition inserts
+        if frames_since <= cfg.mapper_busy_frames and not c1c:
+            return False
+        return True
 
     def _nkf_cache(self) -> int:
         # host-tracked keyframe count (avoids a device read per frame);

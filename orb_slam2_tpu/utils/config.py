@@ -136,6 +136,16 @@ class SlamConfig:
     gba_async_chunks: int = 0
     gba_total_iters: int = 10                # src/LoopClosing.cc:884 (nIts)
 
+    # Deterministic stand-in for the reference's bLocalMappingIdle gate
+    # (src/Tracking.cc:1546-1567 + SetAcceptKeyFrames, src/LocalMapping.cc:82):
+    # for this many frames after a keyframe the "mapper" counts as busy and
+    # NeedNewKeyFrame only passes on the urgent stereo condition c1c
+    # (inliers < 0.25*ref or need-close). The reference's thread is busy for
+    # one mapping iteration (~100-300 ms ~ 3-9 frames at 30 fps); without
+    # this, near-redundant keyframes insert every blackout window on
+    # high-overlap terrain and the serial mapping cost dominates.
+    mapper_busy_frames: int = 6
+
     # Loop closing / place recognition
     covis_consistency_th: int = 3            # src/LoopClosing.cc:91
     loop_kf_gap: int = 10                    # KFs since last loop gate (src/LoopClosing.cc:152)
