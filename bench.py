@@ -162,8 +162,11 @@ def main():
     # teleport the camera back and break the motion model)
     times, new_kf = run_eval(n_build + n_eval)
     med = float(np.median(times))
+    sync_mean = float(np.mean(times))
     log(f"synchronous lap: median {med*1000:.2f} ms/frame "
-        f"({1.0/med:.1f} fps), p90 {np.percentile(times, 90)*1000:.2f} ms, "
+        f"({1.0/med:.1f} fps), MEAN {sync_mean*1000:.2f} ms "
+        f"({1.0/sync_mean:.1f} fps incl. keyframe events), "
+        f"p90 {np.percentile(times, 90)*1000:.2f} ms, "
         f"max {times.max()*1000:.2f} ms, keyframes inserted: {new_kf}")
 
     # ---- pipelined stream (deployed high-throughput mode) ----
@@ -205,7 +208,8 @@ def main():
         "mode": "pipelined_stream",
         "pipeline_depth": depth,
         "loop_closing": True,
-        "sync_fps": round(1.0 / med, 2),
+        "sync_median_fps": round(1.0 / med, 2),
+        "sync_mean_fps": round(1.0 / sync_mean, 2),
     }))
 
 
