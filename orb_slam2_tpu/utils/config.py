@@ -140,11 +140,13 @@ class SlamConfig:
     # (src/Tracking.cc:1546-1567 + SetAcceptKeyFrames, src/LocalMapping.cc:82):
     # for this many frames after a keyframe the "mapper" counts as busy and
     # NeedNewKeyFrame only passes on the urgent stereo condition c1c
-    # (inliers < 0.25*ref or need-close). The reference's thread is busy for
-    # one mapping iteration (~100-300 ms ~ 3-9 frames at 30 fps); without
-    # this, near-redundant keyframes insert every blackout window on
-    # high-overlap terrain and the serial mapping cost dominates.
-    mapper_busy_frames: int = 6
+    # (inliers < 0.25*ref or need-close). 0 (default) = mapper always idle —
+    # the reference's regime when its thread keeps up with the camera. Set
+    # to ceil(mapping_iteration_time * fps) when mapping provably cannot
+    # keep up (e.g. ~6 at 30 fps through the development tunnel, where one
+    # mapping iteration is ~0.2-0.3 s): the reference under the same load
+    # drops exactly these insertions.
+    mapper_busy_frames: int = 0
 
     # Loop closing / place recognition
     covis_consistency_th: int = 3            # src/LoopClosing.cc:91
