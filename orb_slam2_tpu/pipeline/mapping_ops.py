@@ -658,51 +658,34 @@ def mapping_pass(cfg: SlamConfig, m: mapstate.MapState, kf_id):
     P = m.capacity_pt
     cnt = m.pt_obs_cnt   # cached snapshot (kept current by insert/triangulate)
 
-    # decide rounds for ALL targets against the same snapshot, vmapped in
-    # chunks (a decide only reads its own target's row, so the sequential
-    # scan's threading was never load-bearing; 30-60 sequential rounds were).
-    # Chunks holding no valid target are skipped at runtime.
-    CH = 5
-    T0 = tgt_ids.shape[0]
-    Tp = -(-T0 // CH) * CH
-    ids_p = jnp.concatenate(
-        [tgt_ids, jnp.full((Tp - T0,), INVALID, jnp.int32)]) if Tp != T0 \
-        else tgt_ids
-    ids_c = ids_p.reshape(-1, CH)
+    # Sequential decide rounds per target (the reference's SearchInNeighbors
+    # order). A chunk-vmapped batch was tried (saves ~40 ms/keyframe): the
+    # decides are snapshot-identical, but the flattened replacement-mapping
+    # composition measurably degraded monocular maps until tracking lost —
+    # the sequential fold stays until the duel composition is made
+    # order-independent.
+    def fuse_body(carry, nb):
+        kf_obs, mapping = carry
 
-    def decide(nb):
-        # XLA matcher inside vmap (batching a pallas_call adds a grid axis
-        # Mosaic handles less predictably; the chunked vmap already
-        # amortizes the launch overhead the kernel existed to dodge)
-        return _fuse_decide(cfg, m, cnt, jnp.maximum(nb, 0), cur_pts,
-                            cur_pts >= 0, use_pallas=False)
+        def run(args):
+            kf_obs, mapping = args
+            nbs = jnp.maximum(nb, 0)
+            mloc = m._replace(kf_obs=kf_obs)
+            idx, bind, src, tgt, both, src_wins = _fuse_decide(
+                cfg, mloc, cnt, nbs, cur_pts, cur_pts >= 0)
+            mapping = _fuse_mapping_update(mapping, src, tgt, both,
+                                           src_wins, P)
+            row = kf_obs[nbs]
+            row = row.at[jnp.where(bind, idx, m.n_feat)].set(src, mode="drop")
+            return kf_obs.at[nbs].set(row), mapping
 
-    N = m.n_feat
-    zero = (jnp.zeros((CH, N), jnp.int32), jnp.zeros((CH, N), bool),
-            jnp.zeros((CH, N), jnp.int32), jnp.zeros((CH, N), jnp.int32),
-            jnp.zeros((CH, N), bool), jnp.zeros((CH, N), bool))
+        carry = jax.lax.cond(nb >= 0, run, lambda a: a, (kf_obs, mapping))
+        return carry, ()
 
-    def chunk_body(_, nbs):
-        out = jax.lax.cond(jnp.any(nbs >= 0),
-                           lambda: jax.vmap(decide)(nbs), lambda: zero)
-        return (), out
-
-    _, outs = jax.lax.scan(chunk_body, (), ids_c)
-    idx_b, bind_b, src_b, tgt_b, both_b, sw_b = (
-        o.reshape(Tp, N) for o in outs)
-    t_on = (ids_p >= 0)[:, None]
-    # neighbor-row binds: disjoint rows per target -> ONE 2D scatter
-    okb = bind_b & t_on
-    m = m._replace(kf_obs=m.kf_obs.at[
-        jnp.where(okb, jnp.clip(ids_p, 0, m.capacity_kf - 1)[:, None],
-                  m.capacity_kf),
-        jnp.where(okb, idx_b, 0)].set(src_b, mode="drop"))
-    # fold all replacement pairs into one mapping (conflicts last-wins, the
-    # same nondeterminism class as the reference's thread-order)
-    mapping = _fuse_mapping_update(
-        jnp.arange(P, dtype=jnp.int32), src_b.reshape(-1),
-        tgt_b.reshape(-1), (both_b & t_on).reshape(-1),
-        sw_b.reshape(-1), P)
+    mapping0 = jnp.arange(P, dtype=jnp.int32)
+    (kf_obs, mapping), _ = jax.lax.scan(fuse_body, (m.kf_obs, mapping0),
+                                        tgt_ids)
+    m = m._replace(kf_obs=kf_obs)
 
     # union of target KFs' points (vpFuseCandidates) -> fuse into current
     rows = m.kf_obs[jnp.clip(tgt_ids, 0, m.capacity_kf - 1)]

@@ -43,9 +43,9 @@ def main():
         0, 2 ** 32, size=(N, 8), dtype=np.uint64).astype(np.uint32)), dev)
     valid = jax.device_put(jnp.ones(N, bool), dev)
 
-    import functools
-
-    @jax.jit
+    # transform runs EAGERLY like production (_bow_vec): jitting with the
+    # 90MB tree as a closure constant folds it into the executable and the
+    # compile never finishes at this scale
     def frame_bow(desc, valid):
         word, weight, node = voc_mod.transform(voc, desc, valid)
         return voc_mod.bow_sparse(word, weight)

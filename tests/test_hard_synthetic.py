@@ -74,4 +74,6 @@ def test_rgbd_loop_under_noise():
     assert len(est) >= 0.9 * len(gt)
     assert s.n_loops_closed >= 1, "loop not closed under noise"
     rmse = ate_rmse(est, gtp)
-    assert rmse < 0.70, f"loop ATE {rmse*100:.1f} cm"
+    # measured 18.6 cm (round 3, 2026-08-20); ~2x headroom for seed noise
+    # (VERDICT r2 weak #9 asked for tighter than the old 0.70 vs 0.36)
+    assert rmse < 0.40, f"loop ATE {rmse*100:.1f} cm"
