@@ -29,12 +29,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def run_sequence(cfg, world_cam, gt, sensor, label, enable_loops=True,
-                 pipeline_depth=0):
+                 pipeline_depth=0, vocabulary=None, result_dir=None):
     import jax.numpy as jnp
     from orb_slam2_tpu.pipeline.system import SlamSystem
     from orb_slam2_tpu.utils.synthetic import ate_rmse
+    from orb_slam2_tpu.utils import trajectory as traj_io
 
-    s = SlamSystem(cfg, enable_loop_closing=enable_loops,
+    s = SlamSystem(cfg, vocabulary=vocabulary,
+                   enable_loop_closing=enable_loops,
                    pipeline_depth=pipeline_depth)
     t0 = time.time()
     lost = 0
@@ -68,6 +70,14 @@ def run_sequence(cfg, world_cam, gt, sensor, label, enable_loops=True,
     print(f"  [{label}] ATE {rmse*100:.1f} cm over {path_len:.1f} m, "
           f"kf={res['kf']} (inserted {res['kf_seq_total']}) "
           f"loops={res['loops']} lost={lost} ({wall:.0f}s)", flush=True)
+    if result_dir:
+        # golden trajectory artifacts, mirroring the reference's committed
+        # result/{Camera,KeyFrame}Trajectory files (SURVEY.md section 4.2)
+        os.makedirs(result_dir, exist_ok=True)
+        traj_io.save_tum(os.path.join(result_dir, f"{label}_frames_tum.txt"),
+                         traj)
+        traj_io.save_tum(os.path.join(result_dir, f"{label}_keyframes_tum.txt"),
+                         s.keyframe_trajectory())
     return res
 
 
@@ -81,6 +91,8 @@ def main():
     ap.add_argument("--long", action="store_true",
                     help="also run the 1000+-frame forward-motion loop drive")
     ap.add_argument("--json", default=None, help="write results as JSON")
+    ap.add_argument("--result-dir", default=None,
+                    help="save TUM-format trajectory artifacts here")
     args = ap.parse_args()
 
     import jax
@@ -108,6 +120,15 @@ def main():
                      th_depth=40.0, n_features=nf, use_pallas=not args.small,
                      gba_async_chunks=4, **kw)
 
+    # place recognition at reference scale (src/System.cc:58-77): the complete
+    # k=10/depth=6 (10^6-word) synthetic tree, same as bench.py; the tiny
+    # on-the-fly fallback vocabulary aliases badly and spams Sim3 attempts
+    voc = None
+    if not args.small:
+        import jax as _jax
+        from orb_slam2_tpu.bow.vocabulary import synth_vocabulary
+        voc = synth_vocabulary(k=10, depth=6, device=_jax.devices()[0])
+
     results = []
     if not args.skip_survey:
         world = PlateWorld(fx, fx, cx, cy, W, H, z0=5.0, extent=14.0,
@@ -115,13 +136,15 @@ def main():
         cam = ImperfectCamera(world)
         gt = survey_trajectory(n_survey, extent=9.0, rows=6)
         results.append(run_sequence(cfg, cam, gt, "rgbd", "survey-rgbd",
-                                    enable_loops=False))
+                                    enable_loops=False, vocabulary=voc,
+                                    result_dir=args.result_dir))
     if not args.skip_loop:
         world = PlateWorld(fx, fx, cx, cy, W, H, z0=5.0)
         cam = ImperfectCamera(world)
         gt = loop_trajectory(n_loop, radius=3.0)
         results.append(run_sequence(cfg, cam, gt, "rgbd", "loop-rgbd",
-                                    enable_loops=True))
+                                    enable_loops=True, vocabulary=voc,
+                                    result_dir=args.result_dir))
     if not args.skip_mono:
         import dataclasses
         cfg_m = dataclasses.replace(cfg, sensor=SENSOR_MONOCULAR, bf=0.0)
@@ -129,7 +152,8 @@ def main():
         cam = ImperfectCamera(world, noise_sigma=2.0)
         gt = loop_trajectory(n_loop, radius=3.0)
         results.append(run_sequence(cfg_m, cam, gt, "mono", "loop-mono",
-                                    enable_loops=True))
+                                    enable_loops=True, vocabulary=voc,
+                                    result_dir=args.result_dir))
     if args.long:
         # KITTI-00-scale drive: one big loop, hundreds of keyframes —
         # exercises DB erase, trajectory rehoming, covisibility and the
@@ -139,7 +163,8 @@ def main():
         cam = ImperfectCamera(world)
         gt = forward_trajectory(n_long, speed=0.12, close_loop=True)
         results.append(run_sequence(cfg, cam, gt, "rgbd", "long-forward-rgbd",
-                                    enable_loops=True))
+                                    enable_loops=True, vocabulary=voc,
+                                    result_dir=args.result_dir))
 
     print("\n== summary ==")
     for r in results:
