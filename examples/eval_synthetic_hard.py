@@ -112,7 +112,10 @@ def main():
     else:
         W, H, fx, nf = 640, 480, 517.3, 1000
         n_survey, n_loop, n_long = 500, 360, 1200
-        kw = dict()
+        # same capacities as bench.py: fixed-shape costs reflect the actual
+        # workload AND the persistent compile cache is shared with the bench
+        # (identical shapes -> identical executables)
+        kw = dict(max_keyframes=128, max_map_points=1 << 14)
     cx, cy = W / 2, H / 2
     baseline = 0.25
     cfg = SlamConfig(fx=fx, fy=fx, cx=cx, cy=cy, width=W, height=H,
@@ -157,12 +160,16 @@ def main():
     if args.long:
         # KITTI-00-scale drive: one big loop, hundreds of keyframes —
         # exercises DB erase, trajectory rehoming, covisibility and the
-        # K-capacity guard (VERDICT r2 missing #5)
+        # K-capacity guard (VERDICT r2 missing #5); larger capacities so the
+        # KF count can genuinely climb past 200 before culling bounds it
+        import dataclasses as _dc
+        cfg_l = cfg if args.small else _dc.replace(
+            cfg, max_keyframes=256, max_map_points=1 << 15)
         world = PlateWorld(fx, fx, cx, cy, W, H, z0=5.0, extent=30.0,
                            n_plates=900, seed=11)
         cam = ImperfectCamera(world)
         gt = forward_trajectory(n_long, speed=0.12, close_loop=True)
-        results.append(run_sequence(cfg, cam, gt, "rgbd", "long-forward-rgbd",
+        results.append(run_sequence(cfg_l, cam, gt, "rgbd", "long-forward-rgbd",
                                     enable_loops=True, vocabulary=voc,
                                     result_dir=args.result_dir))
 

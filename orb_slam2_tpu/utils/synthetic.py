@@ -69,15 +69,23 @@ class PlaneWorld:
         return img.astype(np.float32), zc.astype(np.float32)
 
     def _sample(self, tx, ty):
-        tx = np.clip(tx, 0, self.tex_size - 2)
-        ty = np.clip(ty, 0, self.tex_size - 2)
+        # TILE the texture (wrap-around bilinear) instead of clamping:
+        # clamping made the ground featureless (constant stripes) beyond
+        # |world| > (tex_size/2)/tex_scale ~= 17 m, which silently killed
+        # tracking on any long-range trajectory (the 20 m-radius forward
+        # drive). The 34 m tiling period is mild perceptual aliasing that
+        # the plate relief + per-plate texture offsets decorrelate.
+        tx = np.mod(tx, self.tex_size)
+        ty = np.mod(ty, self.tex_size)
         x0 = np.floor(tx).astype(np.int64)
         y0 = np.floor(ty).astype(np.int64)
         fx = tx - x0
         fy = ty - y0
+        x1 = (x0 + 1) % self.tex_size
+        y1 = (y0 + 1) % self.tex_size
         t = self.tex
-        return ((t[y0, x0] * (1 - fx) + t[y0, x0 + 1] * fx) * (1 - fy) +
-                (t[y0 + 1, x0] * (1 - fx) + t[y0 + 1, x0 + 1] * fx) * fy)
+        return ((t[y0, x0] * (1 - fx) + t[y0, x1] * fx) * (1 - fy) +
+                (t[y1, x0] * (1 - fx) + t[y1, x1] * fx) * fy)
 
 
 def lateral_trajectory(n_frames, step=0.02, yaw_rate=0.0):
