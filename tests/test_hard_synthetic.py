@@ -54,7 +54,9 @@ def test_mono_drift_under_noise():
     rmse = ate_rmse(est, gtp, with_scale=True)
     path = sum(np.linalg.norm(gt[i + 1][:3, 3] - gt[i][:3, 3])
                for i in range(len(gt) - 1))
-    assert rmse < 0.20, f"mono ATE {rmse*100:.1f} cm over {path:.1f} m"
+    # ~1.4x the 9.3 cm measured calibration (VERDICT r2 weak #9: the old
+    # 0.20 bound left 2x headroom — a 90% accuracy regression would pass)
+    assert rmse < 0.13, f"mono ATE {rmse*100:.1f} cm over {path:.1f} m"
 
 
 @pytest.mark.slow
