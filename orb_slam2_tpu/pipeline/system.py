@@ -679,9 +679,18 @@ class SlamSystem:
         self._chain = None
 
     def flush(self):
-        """Public: drain the pipelined stream (call at end of a sequence
-        before reading the trajectory when pipeline_depth > 0)."""
+        """Public: drain the pipelined stream and complete any pending
+        amortized-GBA chunks — the System::Shutdown semantics (the reference
+        waits for a running GBA thread before SaveTrajectory,
+        src/System.cc:349-360). Call at end of a sequence before reading the
+        trajectory."""
         self._flush_pipeline()
+        while self._gba_chunks_left > 0:
+            n = max(1, -(-self.cfg.gba_total_iters //
+                         self.cfg.gba_async_chunks))
+            self.m = loop_closing.run_global_ba(
+                self.cfg, self.m, mesh=self.gba_mesh, n_iters=n)
+            self._gba_chunks_left -= 1
 
     def _handle_keyframe(self, f: FrameData, Tcw, matched_pt, fid: int,
                          timestamp: float):
@@ -797,18 +806,26 @@ class SlamSystem:
             th_ratio = 0.4
         need_close = (cfg.sensor != SENSOR_MONOCULAR and
                       (close_tracked < 100 and close_untracked > 70))
+        # bLocalMappingIdle stand-in (src/Tracking.cc:1537,1546-1567 +
+        # SetAcceptKeyFrames): the mapper counts as busy for
+        # mapper_busy_frames_effective frames after an insertion — one
+        # mapping iteration's wall time at the camera rate.
+        idle = frames_since > cfg.mapper_busy_frames_effective
         c1a = frames_since >= int(cfg.fps)
-        c1b = frames_since >= 0
+        c1b = idle                       # mMinFrames = 0: c1b == idle
         c1c = cfg.sensor != SENSOR_MONOCULAR and \
             (n_inliers < ref_matches * 0.25 or need_close)
         c2 = (n_inliers < ref_matches * th_ratio or need_close) and n_inliers > 15
         if not ((c1a or c1b or c1c) and c2):
             return False
-        # bLocalMappingIdle stand-in (src/Tracking.cc:1546-1567): while the
-        # mapper is "busy" only the urgent stereo condition inserts
-        if frames_since <= cfg.mapper_busy_frames and not c1c:
-            return False
-        return True
+        if idle:
+            return True
+        # Mapper busy (src/Tracking.cc:1592-1623): the reference interrupts
+        # BA and then inserts anyway for stereo/RGBD as long as < 3 keyframes
+        # queue up — this serial design processes each pass to completion, so
+        # the queue is always empty and stereo/RGBD insert. Monocular never
+        # inserts while the mapper is busy.
+        return cfg.sensor != SENSOR_MONOCULAR
 
     def _nkf_cache(self) -> int:
         # host-tracked keyframe count (avoids a device read per frame);

@@ -47,6 +47,7 @@ def test_loop_detected_and_closed():
         fx=fx, fy=fx, cx=160.0, cy=120.0, width=320, height=240,
         n_features=500, bf=fx * 0.25, sensor=SENSOR_RGBD, fps=10.0,
         th_depth=40.0, max_keyframes=128, max_map_points=1 << 14,
+        mapper_busy_frames=0,   # offline: the serial harness's mapper is idle
         ba_local_cams=16, ba_fixed_cams=16, ba_max_points=1 << 11,
         ba_max_obs=8, max_local_keyframes=32, max_local_points=1 << 12)
     world = PlateWorld(fx, fx, 160.0, 120.0, 320, 240, z0=5.0)
@@ -56,6 +57,7 @@ def test_loop_detected_and_closed():
     for i, T in enumerate(gt):
         img, depth = world.render_with_depth(T)
         s.track_rgbd(img, depth, i * 0.1)
+    s.flush()   # Shutdown semantics: complete pending GBA chunks
 
     traj = s.get_trajectory()
     assert len(traj) >= 0.95 * len(gt), "tracking lost"
@@ -80,6 +82,7 @@ def test_mono_loop_closure_corrects_scale_drift():
         fx=fx, fy=fx, cx=160.0, cy=120.0, width=320, height=240,
         n_features=600, sensor=SENSOR_MONOCULAR, fps=10.0,
         max_keyframes=128, max_map_points=1 << 14,
+        mapper_busy_frames=0,   # offline: the serial harness's mapper is idle
         ba_local_cams=16, ba_fixed_cams=16, ba_max_points=1 << 11,
         ba_max_obs=8, max_local_keyframes=32, max_local_points=1 << 12)
     world = PlateWorld(fx, fx, 160.0, 120.0, 320, 240, z0=5.0)
@@ -90,6 +93,7 @@ def test_mono_loop_closure_corrects_scale_drift():
         s = SlamSystem(cfg, enable_loop_closing=enable_loop)
         for i, img in enumerate(frames):
             s.track_monocular(img, i / cfg.fps)
+        s.flush()   # Shutdown semantics: complete pending GBA chunks
         traj = s.get_trajectory()
         assert len(traj) >= 0.9 * len(gt), f"tracked {len(traj)}/{len(gt)}"
         est = [T for _, T in traj]
@@ -121,6 +125,7 @@ def test_double_loop_keeps_first_constraint():
         fx=fx, fy=fx, cx=160.0, cy=120.0, width=320, height=240,
         n_features=500, bf=fx * 0.25, sensor=SENSOR_RGBD, fps=10.0,
         th_depth=40.0, max_keyframes=128, max_map_points=1 << 14,
+        mapper_busy_frames=0,   # offline: the serial harness's mapper is idle
         ba_local_cams=16, ba_fixed_cams=16, ba_max_points=1 << 11,
         ba_max_obs=8, max_local_keyframes=32, max_local_points=1 << 12)
     from orb_slam2_tpu.utils.synthetic import figure_eight_trajectory
@@ -131,6 +136,7 @@ def test_double_loop_keeps_first_constraint():
     for i, T in enumerate(gt):
         img, depth = world.render_with_depth(T)
         s.track_rgbd(img, depth, i / cfg.fps)
+    s.flush()   # Shutdown semantics: complete pending GBA chunks
 
     traj = s.get_trajectory()
     assert len(traj) >= 0.9 * len(gt), "tracking lost"

@@ -6,8 +6,9 @@ The reference loads a ~1M-word ORB vocabulary at startup
 sorted-sparse database handle that scale: a >=100k-word synthetic tree
 (structurally identical to ORBvoc: k=10 complete tree) transforms a full
 frame's descriptors and round-trips add/query through the database. The
-full 10^6-word figure is measured on TPU in scripts/probe_vocab_scale.py
-(recorded in EVAL.md).
+full 10^6-word tree runs in every bench and eval sequence (bench.py /
+examples/eval_synthetic_hard.py build it via synth_vocabulary(k=10, depth=6));
+scripts/probe_vocab_scale.py measures the per-frame transform in isolation.
 """
 import numpy as np
 import jax.numpy as jnp
