@@ -40,21 +40,25 @@ CIRCLE = np.array(
 BORDER = 3  # circle radius: no valid score within 3px of the image edge
 
 
-def fast_score_map(img):
-    """(H,W) float image -> (H,W) float score map.
+def fast_score_map(img, valid_mask=None):
+    """(..., H, W) float image -> (..., H, W) float score map (leading batch
+    dims pass through — the batched extractor scores all pyramid levels at
+    once).
 
     score = max over the 16 arcs of length 9 of
             max( min_arc(x_i - p), min_arc(p - x_i) )
     Negative/zero score means not a corner at any positive threshold.
-    Border pixels (3px) get score 0.
-    """
-    h, w = img.shape
+    Border pixels (3px) get score 0; `valid_mask` (broadcastable to img)
+    overrides the default whole-image 3px-border mask (per-level borders of
+    the batched canvas)."""
+    h, w = img.shape[-2], img.shape[-1]
     p = img
     # circle values via static rolls (cheap: XLA turns these into slices)
     circ = jnp.stack(
-        [jnp.roll(img, shift=(-int(dy), -int(dx)), axis=(0, 1)) for dx, dy in CIRCLE],
+        [jnp.roll(img, shift=(-int(dy), -int(dx)), axis=(-2, -1))
+         for dx, dy in CIRCLE],
         axis=0,
-    )  # (16, H, W): circ[k] at pixel (y,x) = img[y+dy_k, x+dx_k]
+    )  # (16, ..., H, W): circ[k] at pixel (y,x) = img[y+dy_k, x+dx_k]
     d_bright = circ - p[None]          # x_i - p
     d_dark = -d_bright                  # p - x_i
 
@@ -67,17 +71,22 @@ def fast_score_map(img):
         return jnp.max(m9, axis=0)
 
     score = jnp.maximum(min9_max(d_bright), min9_max(d_dark))
-    # zero out the 3px border (rolled values wrap around there)
-    ys = jnp.arange(h)[:, None]
-    xs = jnp.arange(w)[None, :]
-    valid = (ys >= BORDER) & (ys < h - BORDER) & (xs >= BORDER) & (xs < w - BORDER)
-    return jnp.where(valid, score, 0.0)
+    if valid_mask is None:
+        # zero out the 3px border (rolled values wrap around there)
+        ys = jnp.arange(h)[:, None]
+        xs = jnp.arange(w)[None, :]
+        valid_mask = (ys >= BORDER) & (ys < h - BORDER) & \
+            (xs >= BORDER) & (xs < w - BORDER)
+    return jnp.where(valid_mask, score, 0.0)
 
 
 def nms3x3(score):
-    """Keep pixels that are the maximum of their 3x3 neighborhood (ties kept)."""
+    """Keep pixels that are the maximum of their 3x3 neighborhood (ties kept).
+    Works on (..., H, W); the window spans the last two axes only."""
+    window = (1,) * (score.ndim - 2) + (3, 3)
+    strides = (1,) * score.ndim
     neigh_max = jax.lax.reduce_window(
-        score, -jnp.inf, jax.lax.max, (3, 3), (1, 1), "SAME"
+        score, -jnp.inf, jax.lax.max, window, strides, "SAME"
     )
     return score >= neigh_max
 

@@ -35,23 +35,30 @@ def _gaussian_kernel_1d(ksize: int, sigma: float) -> np.ndarray:
 
 
 def _reflect101_pad(img, pad_h: int, pad_w: int):
-    """BORDER_REFLECT_101: gfedcb|abcdefgh|gfedcba."""
-    return jnp.pad(img, ((pad_h, pad_h), (pad_w, pad_w)), mode="reflect")
+    """BORDER_REFLECT_101 on the LAST TWO axes: gfedcb|abcdefgh|gfedcba."""
+    cfg = [(0, 0)] * (img.ndim - 2) + [(pad_h, pad_h), (pad_w, pad_w)]
+    return jnp.pad(img, cfg, mode="reflect")
 
 
 def gaussian_blur(img, ksize: int = 9, sigma: float = 2.0):
-    """Separable Gaussian on a (H,W) float image, reflect-101 borders.
+    """Separable Gaussian on a (..., H, W) float image, reflect-101 borders
+    (batch dims pass through — the batched extractor blurs all pyramid
+    levels in one canvas).
 
     Implemented as shift-and-add (static slices of the padded image times
     scalar taps): a 1-channel spatial conv is MXU-hostile and measured ~5 ms
     on VGA via lax.conv; the same math as 18 fused VPU FMAs is ~0.2 ms."""
     k = _gaussian_kernel_1d(ksize, sigma)
     pad = ksize // 2
-    h, w = img.shape
+    h, w = img.shape[-2], img.shape[-1]
+    lead = img.shape[:-2]
     x = _reflect101_pad(img, pad, pad)
-    rows = sum(float(k[i]) * jax.lax.slice(x, (i, 0), (i + h, w + 2 * pad))
+    lead0 = (0,) * len(lead)
+    rows = sum(float(k[i]) * jax.lax.slice(x, lead0 + (i, 0),
+                                           lead + (i + h, w + 2 * pad))
                for i in range(ksize))
-    out = sum(float(k[i]) * jax.lax.slice(rows, (0, i), (h, i + w))
+    out = sum(float(k[i]) * jax.lax.slice(rows, lead0 + (0, i),
+                                          lead + (h, i + w))
               for i in range(ksize))
     return out
 
