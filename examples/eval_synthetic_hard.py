@@ -41,11 +41,15 @@ def run_sequence(cfg, world_cam, gt, sensor, label, enable_loops=True,
     t0 = time.time()
     lost = 0
     for i, T in enumerate(gt):
-        img, depth = world_cam.render_with_depth(T, i)
-        if sensor == "rgbd":
-            Tcw = s.track_rgbd(img, depth, i / cfg.fps)
+        if sensor == "stereo":
+            left, right, _ = world_cam.render_stereo(T, cfg.baseline, i)
+            Tcw = s.track_stereo(left, right, i / cfg.fps)
         else:
-            Tcw = s.track_monocular(img, i / cfg.fps)
+            img, depth = world_cam.render_with_depth(T, i)
+            if sensor == "rgbd":
+                Tcw = s.track_rgbd(img, depth, i / cfg.fps)
+            else:
+                Tcw = s.track_monocular(img, i / cfg.fps)
         if Tcw is None:
             lost += 1
         if i % 50 == 0:
@@ -106,6 +110,10 @@ def main():
     ap.add_argument("--skip-mono", action="store_true")
     ap.add_argument("--long", action="store_true",
                     help="also run the 1000+-frame forward-motion loop drive")
+    ap.add_argument("--fig8", action="store_true",
+                    help="full-resolution figure-eight (two real loop closures), rgbd + mono")
+    ap.add_argument("--block", action="store_true",
+                    help="forward-facing street-canyon circuit (KITTI regime), stereo + rgbd")
     ap.add_argument("--json", default=None, help="write results as JSON")
     ap.add_argument("--result-dir", default=None,
                     help="save TUM-format trajectory artifacts here")
@@ -116,7 +124,7 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
     from orb_slam2_tpu.utils.config import (SlamConfig, SENSOR_RGBD,
-                                            SENSOR_MONOCULAR)
+                                            SENSOR_MONOCULAR, SENSOR_STEREO)
     from orb_slam2_tpu.utils.synthetic import (
         PlateWorld, ImperfectCamera, survey_trajectory, loop_trajectory,
         forward_trajectory)
@@ -199,6 +207,50 @@ def main():
         # tile period (no perceptual self-aliasing).
         gt = forward_trajectory(n_long, speed=0.08, close_loop=True)
         results.append(run_sequence(cfg_l, cam, gt, "rgbd", "long-forward-rgbd",
+                                    enable_loops=True, vocabulary=voc,
+                                    result_dir=args.result_dir))
+    if args.fig8:
+        # figure-eight at full resolution: drift genuinely disconnects each
+        # crossover revisit, so the complete detect -> Sim3 -> correct ->
+        # essential graph -> (amortized) GBA chain must fire — twice — at
+        # reference scale with the 10^6-word vocabulary (VERDICT r3 #4).
+        # RGBD and monocular (the 7-DoF correction path).
+        from orb_slam2_tpu.utils.synthetic import figure_eight_trajectory
+        n8 = 220 if args.small else 560
+        world = PlateWorld(fx, fx, cx, cy, W, H, z0=5.0, extent=14.0,
+                           n_plates=400, seed=5)
+        gt = figure_eight_trajectory(n8, radius=3.2)
+        cam = ImperfectCamera(world, noise_sigma=3.0)
+        results.append(run_sequence(cfg, cam, gt, "rgbd", "fig8-rgbd",
+                                    enable_loops=True, vocabulary=voc,
+                                    result_dir=args.result_dir))
+        import dataclasses as _dc
+        cfg_m8 = _dc.replace(cfg, sensor=SENSOR_MONOCULAR, bf=0.0)
+        cam = ImperfectCamera(world, noise_sigma=2.0)
+        results.append(run_sequence(cfg_m8, cam, gt, "mono", "fig8-mono",
+                                    enable_loops=True, vocabulary=voc,
+                                    result_dir=args.result_dir))
+    if args.block:
+        # forward-facing street-canyon circuit (the KITTI regime, VERDICT r3
+        # missing #4): optical axis along motion, depth-stratified scene,
+        # 90-degree turns, one big loop around the block. Stereo (the
+        # reference's KITTI sensor — first at-scale evidence for the SAD
+        # matcher) and RGBD.
+        from orb_slam2_tpu.utils.synthetic import (BlockWorld,
+                                                   city_block_trajectory)
+        import dataclasses as _dc
+        n_blk = 300 if args.small else 780
+        world = BlockWorld(fx, fx, cx, cy, W, H)
+        gt = city_block_trajectory(n_blk, corner_radius=6.0, speed=0.15,
+                                   overshoot=0.12)
+        cam = ImperfectCamera(world, noise_sigma=3.0, exposure_amp=0.15)
+        # KITTI-flavored stereo: baseline 0.5 m -> close threshold
+        # th_depth * b = 20 m, like KITTI's 35 * 0.54
+        cfg_st = _dc.replace(cfg, sensor=SENSOR_STEREO, bf=fx * 0.5)
+        results.append(run_sequence(cfg_st, cam, gt, "stereo", "block-stereo",
+                                    enable_loops=True, vocabulary=voc,
+                                    result_dir=args.result_dir))
+        results.append(run_sequence(cfg, cam, gt, "rgbd", "block-rgbd",
                                     enable_loops=True, vocabulary=voc,
                                     result_dir=args.result_dir))
 

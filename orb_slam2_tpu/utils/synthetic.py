@@ -207,6 +207,222 @@ class PlateWorld(PlaneWorld):
         return img.astype(np.float32), zc.astype(np.float32)
 
 
+class BlockWorld:
+    """Forward-facing street-canyon circuit — the KITTI regime (VERDICT r3
+    missing #4): optical axis along the direction of travel, epipole inside
+    the image, depth-stratified structure (near walls flanking the street,
+    ground plane below, far wall ahead at tens of meters with low-parallax
+    points), 90-degree vehicle turns.
+
+    Geometry is a set of axis-aligned textured rectangles, so rendering stays
+    exact ray-plane intersection + bilinear texture sampling like the other
+    worlds: a rectangular street circuit of side `block` with rounded
+    corners; each street is flanked by segmented building facades (random
+    heights, per-panel texture offsets — building fronts), and the ground is
+    a single plane. World axes: x/z horizontal, y DOWN (+y below the
+    camera), matching the camera convention (x right, y down, z forward) so
+    an identity pose drives along +z.
+
+    Use with `city_block_trajectory`, which follows the same circuit. The
+    reference's analogous scenes are the KITTI odometry sequences its
+    stereo/mono examples run on (`Examples/Stereo/stereo_kitti.cc`).
+    """
+
+    def __init__(self, fx, fy, cx, cy, width, height, block=28.0,
+                 street_half_width=3.5, cam_height=1.5, wall_height=5.0,
+                 panel_len=4.0, tex_size=2048, tex_scale=100.0, seed=3,
+                 depth_range=12.0):
+        self.fx, self.fy, self.cx, self.cy = fx, fy, cx, cy
+        self.w, self.h = width, height
+        self.block = block
+        self.street_half_width = street_half_width
+        self.cam_height = cam_height
+        self.depth_range = depth_range
+        self.tex = make_texture(np.random.default_rng(seed), tex_size)
+        self.tex_scale = tex_scale
+        self.tex_size = tex_size
+        rng = np.random.default_rng(seed + 1)
+
+        # Panels: (axis, offset, normal_sign, u0, u1, v0, v1, tex_off_u, tex_off_v)
+        # axis 0: plane x = offset, in-plane coords (u=z, v=y)
+        # axis 2: plane z = offset, in-plane coords (u=x, v=y)
+        # axis 1: plane y = offset (ground), coords (u=x, v=z)
+        panels = []
+        g = cam_height                      # ground plane y = +cam_height
+        half = block / 2.0
+        W = street_half_width
+        for side_off, sgn in ((half + W, -1.0), (half - W, +1.0)):
+            # outer facades span the whole outer box; inner facades span only
+            # the inner block (otherwise they would cut across the streets)
+            lo, hi = -side_off, side_off
+            # per circuit side: outer facade at |coord| = half+W facing
+            # inward (normal -coord_sign), inner facade at |coord| = half-W
+            # facing outward (normal +coord_sign) — both toward the street
+            # ring that lies between them
+            for coord_sign in (+1.0, -1.0):
+                off = side_off * coord_sign
+                nrm = sgn * coord_sign      # toward the street centerline
+                for axis in (0, 2):
+                    u = lo
+                    while u < hi:
+                        ulen = min(panel_len * rng.uniform(0.7, 1.5), hi - u)
+                        htop = wall_height * rng.uniform(0.5, 1.0)
+                        panels.append((axis, off, nrm, u, u + ulen,
+                                       g - htop, g,
+                                       rng.uniform(0, tex_size),
+                                       rng.uniform(0, tex_size)))
+                        u += ulen
+        self.panels = panels
+
+    def render(self, T_wc):
+        return self._render(T_wc)[0]
+
+    def render_with_depth(self, T_wc):
+        return self._render(T_wc)
+
+    def render_stereo(self, T_wc, baseline):
+        """(left, right, left_depth): right camera displaced +baseline along
+        the camera x axis — synthetic rectified stereo."""
+        left, depth = self._render(T_wc)
+        T_r = np.array(T_wc, dtype=np.float64).copy()
+        T_r[:3, 3] = T_r[:3, 3] + T_r[:3, :3] @ np.array([baseline, 0.0, 0.0])
+        right = self._render(T_r, want_depth=False)[0]
+        return left, right, depth
+
+    def _render(self, T_wc, want_depth=True):
+        R = np.asarray(T_wc)[:3, :3]
+        c = np.asarray(T_wc)[:3, 3]
+        us, vs = np.meshgrid(np.arange(self.w), np.arange(self.h))
+        d_cam = np.stack([(us - self.cx) / self.fx,
+                          (vs - self.cy) / self.fy,
+                          np.ones_like(us, dtype=np.float64)], axis=-1)
+        d = d_cam @ R.T                                      # world ray dirs
+        best_t = np.full((self.h, self.w), np.inf)
+        best_u = np.zeros_like(best_t)
+        best_v = np.zeros_like(best_t)
+        best_ou = np.zeros_like(best_t)
+        best_ov = np.zeros_like(best_t)
+
+        def add_plane(axis, off, u_axis, v_axis, u0, u1, v0, v1, ou, ov):
+            nonlocal best_t, best_u, best_v, best_ou, best_ov
+            dz = d[..., axis]
+            dz = np.where(np.abs(dz) < 1e-12, 1e-12, dz)
+            t = (off - c[axis]) / dz
+            pu = c[u_axis] + t * d[..., u_axis]
+            pv = c[v_axis] + t * d[..., v_axis]
+            ok = (t > 1e-6) & (t < best_t) & \
+                (pu >= u0) & (pu <= u1) & (pv >= v0) & (pv <= v1)
+            best_t = np.where(ok, t, best_t)
+            best_u = np.where(ok, pu, best_u)
+            best_v = np.where(ok, pv, best_v)
+            best_ou = np.where(ok, ou, best_ou)
+            best_ov = np.where(ok, ov, best_ov)
+
+        # ground: y = cam_height plane over the whole circuit footprint
+        ext = self.block / 2 + self.street_half_width + 1.0
+        add_plane(1, self.cam_height, 0, 2, -ext, ext, -ext, ext, 0.0, 0.0)
+
+        fwd = R[:, 2]                       # camera optical axis in world
+        for (axis, off, nrm, u0, u1, v0, v1, ou, ov) in self.panels:
+            # cull: camera on the front side of the panel, panel not
+            # entirely behind the camera
+            front = (c[axis] - off) * nrm
+            if front <= 0.05:               # behind / inside the facade
+                continue
+            u_axis = 2 if axis == 0 else 0
+            # panel center vs camera: skip if it lies behind the image plane
+            center = np.zeros(3)
+            center[axis] = off
+            center[u_axis] = 0.5 * (u0 + u1)
+            center[1] = 0.5 * (v0 + v1)
+            to_c = center - c
+            dist = np.linalg.norm(to_c)
+            span = 0.5 * (u1 - u0)
+            if dist > span and np.dot(to_c, fwd) < -span:
+                continue
+            add_plane(axis, off, u_axis, 1, u0, u1, v0, v1, ou, ov)
+
+        valid = np.isfinite(best_t)
+        tx = best_u * self.tex_scale + best_ou
+        ty = best_v * self.tex_scale + best_ov
+        img = self._sample(tx, ty)
+        img = np.where(valid, img, 0.0).astype(np.float32)
+        if not want_depth:
+            return img, None
+        # camera-frame z of the hit point = t * (unit-z of the ray in cam
+        # frame) — d_cam has z component 1 by construction
+        zc = np.where(valid, best_t, 0.0)
+        # emulate a real depth camera (same as PlateWorld): occlusion-edge
+        # pixels invalid, plus a max range (Kinect ~ depth_range meters; far
+        # facades are tracked monocularly / by stereo, like TUM far points)
+        zmin = zc.copy()
+        zmax = zc.copy()
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                n = np.roll(np.roll(zc, dy, 0), dx, 1)
+                zmin = np.minimum(zmin, n)
+                zmax = np.maximum(zmax, n)
+        edge = (zmax - zmin) > 0.02 * np.maximum(zc, 1e-6)
+        zc = np.where(edge | (zc > self.depth_range), 0.0, zc)
+        return img, zc.astype(np.float32)
+
+    _sample = PlaneWorld._sample
+
+
+def city_block_trajectory(n_frames, block=28.0, corner_radius=3.0,
+                          speed=0.08, overshoot=0.15, jitter=0.01,
+                          start_legs=0.0):
+    """Drive the BlockWorld circuit: counterclockwise rectangular lap with
+    quarter-circle corners, camera facing the direction of travel (yaw about
+    the vertical y axis), constant speed, one lap + `overshoot` of a second
+    so place recognition sees consecutive revisit keyframes. `jitter` adds a
+    small lateral sinusoid (no perfectly-degenerate straight-line motion).
+    `start_legs` offsets the start position along the circuit (in legs)."""
+    half = block / 2.0
+    L = block - 2 * corner_radius           # straight length per side
+    arc = 0.5 * np.pi * corner_radius
+    per = 4 * (L + arc)                     # perimeter
+    poses = []
+    for i in range(n_frames):
+        s = (i * speed + start_legs * (L + arc)) % per
+        leg = int(s // (L + arc))
+        r = s - leg * (L + arc)
+        # leg 0: +x along z=-half; leg 1: +z along x=+half;
+        # leg 2: -x along z=+half; leg 3: -z along x=-half
+        if r <= L:
+            f = r - L / 2.0                 # position along the straight
+            heading = leg * np.pi / 2.0
+            base = {0: (f, -half), 1: (half, f), 2: (-f, half),
+                    3: (-half, -f)}[leg]
+            x, z = base
+        else:
+            a = (r - L) / corner_radius     # corner angle 0..pi/2
+            heading = leg * np.pi / 2.0 + a
+            # quarter circle anchored at the leg's END point, rotated into
+            # the leg's frame (forward = lx, turn-side lateral = lz)
+            end = {0: (L / 2.0, -half), 1: (half, L / 2.0),
+                   2: (-L / 2.0, half), 3: (-half, -L / 2.0)}[leg]
+            lx = corner_radius * np.sin(a)
+            lz = corner_radius * (1 - np.cos(a))
+            ca, sa = np.cos(leg * np.pi / 2.0), np.sin(leg * np.pi / 2.0)
+            x = end[0] + ca * lx - sa * lz
+            z = end[1] + sa * lx + ca * lz
+        # rotate camera z (forward) onto the drive direction; heading 0
+        # drives +x, so camera forward (sin hdg, 0, cos hdg) needs
+        # hdg = heading - pi/2
+        hdg = heading - np.pi / 2.0
+        ch, sh = np.cos(hdg), np.sin(hdg)
+        Rwc = np.array([[ch, 0.0, -sh],
+                        [0.0, 1.0, 0.0],
+                        [sh, 0.0, ch]])
+        T = np.eye(4)
+        T[:3, :3] = Rwc
+        lat = jitter * np.sin(i * 0.17)     # along camera right = (ch, 0, sh)
+        T[:3, 3] = [x + ch * lat, 0.0, z + sh * lat]
+        poses.append(T)
+    return poses
+
+
 class ImperfectCamera:
     """Photometric imperfections over any world: per-frame exposure gain
     (slow sinusoid, like auto-exposure hunting), additive Gaussian pixel
@@ -227,13 +443,23 @@ class ImperfectCamera:
         r2 = (((xs - w / 2) / (w / 2)) ** 2 + ((ys - h / 2) / (h / 2)) ** 2)
         self.vig = (1.0 - vignette * r2 / 2).astype(np.float32)
 
-    def render_with_depth(self, T_wc, frame_idx: int):
-        img, depth = self.world.render_with_depth(T_wc)
+    def _degrade(self, img, frame_idx: int):
         gain = 1.0 + self.exposure_amp * np.sin(
             2 * np.pi * frame_idx / self.exposure_period)
         img = img * gain * self.vig
         img = img + self.rng.normal(0.0, self.noise_sigma, img.shape)
-        return np.clip(img, 0, 255).astype(np.float32), depth
+        return np.clip(img, 0, 255).astype(np.float32)
+
+    def render_with_depth(self, T_wc, frame_idx: int):
+        img, depth = self.world.render_with_depth(T_wc)
+        return self._degrade(img, frame_idx), depth
+
+    def render_stereo(self, T_wc, baseline, frame_idx: int):
+        """Stereo pair through the imperfect optics: identical exposure gain
+        (one shutter), independent pixel noise per eye."""
+        left, right, depth = self.world.render_stereo(T_wc, baseline)
+        return (self._degrade(left, frame_idx),
+                self._degrade(right, frame_idx), depth)
 
 
 def survey_trajectory(n_frames, extent=10.0, rows=6, row_overlap_frames=8):
