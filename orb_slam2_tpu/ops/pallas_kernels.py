@@ -192,6 +192,136 @@ def projection_best_two_pallas(uv, radius, pred_level, p_ur, p_valid, p_desc,
     return best[:P, 0], idx[:P, 0], second[:P, 0]
 
 
+def _pose_hbe_kernel(par_ref, xw_ref, obs_ref, invs2_ref, mask_ref, st_ref,
+                     out_ref, *, robust: bool):
+    """Motion-only BA normal equations, one fused sweep (solvers/pose_opt.py
+    `_build_normal_eqs` ≡ g2o pose-only edges, src/Optimizer.cc:375-622):
+    residuals, pose Jacobians, Huber weights, and the 6x6 H / 6 b / error
+    reductions — ~45 XLA op launches per LM iteration collapse into one
+    kernel (the LM loop is pure launch latency on TPU, PERF.md round 3).
+
+    par (VMEM, (1,128)): R row-major (9), t (3), fx fy cx cy bf (5),
+    delta2_mono, delta2_stereo. (Params lived in SMEM first; an SMEM input
+    read ZEROS when the kernel was inlined inside a larger jit on the axon
+    backend — standalone it was bit-exact — which silently no-opped the
+    whole pose optimization. VMEM scalar reads behave.) Per-edge rows
+    (VMEM, (1,E) / (3,E)).
+    out (VMEM, (32,128)): row r lanes broadcast — rows 0-20 the upper
+    triangle of H (row-major), 21-26 b, 27 err."""
+    x = xw_ref[0:1, :]
+    y = xw_ref[1:2, :]
+    z = xw_ref[2:3, :]
+    p = lambda i: par_ref[0, i]
+    pcx = p(0) * x + p(1) * y + p(2) * z + p(9)
+    pcy = p(3) * x + p(4) * y + p(5) * z + p(10)
+    pcz = p(6) * x + p(7) * y + p(8) * z + p(11)
+    fx, fy, cx, cy, bf = p(12), p(13), p(14), p(15), p(16)
+    invz = 1.0 / jnp.maximum(pcz, 1e-9)
+    invz2 = invz * invz
+    u = fx * pcx * invz + cx
+    v = fy * pcy * invz + cy
+    ur = u - bf * invz
+    eu = obs_ref[0:1, :] - u
+    ev = obs_ref[1:2, :] - v
+    eur = obs_ref[2:3, :] - ur
+    st = st_ref[...]                       # (1,E) f32: 1 stereo / 0 mono
+    inv_s2 = invs2_ref[...]
+    chi2 = inv_s2 * (eu * eu + ev * ev + st * eur * eur)
+    delta2 = p(17) + st * (p(18) - p(17))
+    if robust:
+        w_rob = jnp.where(chi2 <= delta2, 1.0,
+                          jnp.sqrt(delta2 / jnp.maximum(chi2, 1e-12)))
+    else:
+        w_rob = 1.0
+    depth_ok = (pcz > 1e-6).astype(x.dtype)
+    mask = mask_ref[...] * depth_ok
+    w = w_rob * inv_s2 * mask
+
+    # pose Jacobians of e = obs - pred wrt xi=(rho, phi), left-mult update
+    # (solvers/reproj.pose_point_jacobians): A_u=(a,0,c), A_v=(0,b,d),
+    # A_ur=(a,0,cr); J = -A @ [I | -hat(pc)]
+    a = fx * invz
+    b_ = fy * invz
+    c = -fx * pcx * invz2
+    d = -fy * pcy * invz2
+    cr = c + bf * invz2
+    Ju = (-a, 0.0, -c, -(c * pcy), -(a * pcz - c * pcx), a * pcy)
+    Jv = (0.0, -b_, -d, -(-b_ * pcz + d * pcy), d * pcx, -b_ * pcx)
+    Jr = (-a, 0.0, -cr, -(cr * pcy), -(a * pcz - cr * pcx), a * pcy)
+
+    zero = jnp.zeros_like(x)
+    asv = lambda t: zero + t                # scalars -> (1,E) vectors
+    # all 28 reductions kept 2-D ((1,1) keepdims), concatenated along
+    # sublanes, stored as ONE full-tile write — per-row scalar stores into
+    # the (32,128) f32 tile executed incorrectly on Mosaic (fine in
+    # interpret mode): the kernel returned zeros and pose opt silently
+    # no-opped on hardware
+    rows = []
+    for i in range(6):
+        for j in range(i, 6):
+            rows.append(jnp.sum(
+                w * (asv(Ju[i] * Ju[j]) + asv(Jv[i] * Jv[j]) +
+                     st * asv(Jr[i] * Jr[j])), keepdims=True))
+    for i in range(6):
+        rows.append(-jnp.sum(
+            w * (asv(Ju[i]) * eu + asv(Jv[i]) * ev + st * asv(Jr[i]) * eur),
+            keepdims=True))
+    rows.append(jnp.sum(chi2 * mask, keepdims=True))
+    rows.append(jnp.zeros((1, 1), x.dtype))
+    rows.append(jnp.zeros((1, 1), x.dtype))
+    rows.append(jnp.zeros((1, 1), x.dtype))
+    vec = jnp.concatenate(rows, axis=0)     # (31,1)... pad to 32 sublanes
+    vec = jnp.concatenate([vec, jnp.zeros((1, 1), x.dtype)], axis=0)
+    out_ref[...] = jnp.broadcast_to(vec, (32, 128))
+
+
+_TRI = [(i, j) for i in range(6) for j in range(i, 6)]
+
+
+@functools.partial(jax.jit, static_argnames=("robust", "interpret"))
+def pose_normal_eqs_pallas(Tcw, fx, fy, cx, cy, bf, Xw_t, obs_t, inv_sigma2,
+                           mask, stereo_f, delta2_mono, delta2_stereo,
+                           robust: bool, interpret: bool = False):
+    """Fused (H (6,6), b (6,), err ()) for pose-only BA. Xw_t/obs_t: (3,E)
+    transposed once per solve; inv_sigma2/mask/stereo_f: (1,E) f32."""
+    E = Xw_t.shape[1]
+    assert E % 128 == 0, "pad edges to a lane multiple"
+    par = jnp.concatenate([
+        Tcw[:3, :3].reshape(-1), Tcw[:3, 3],
+        jnp.stack([fx, fy, cx, cy, bf, delta2_mono, delta2_stereo])
+    ]).astype(jnp.float32)
+    par = jnp.pad(par, (0, 128 - par.shape[0]))[None, :]
+    out = pl.pallas_call(
+        functools.partial(_pose_hbe_kernel, robust=robust),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((32, 128), jnp.float32),
+        interpret=interpret,
+    )(par, Xw_t, obs_t, inv_sigma2, mask, stereo_f)
+    tri = out[:21, 0]
+    H = tri[_tri_index()]                   # (6,6) via one gather
+    b = out[21:27, 0]
+    err = out[27, 0]
+    return H, b, err
+
+
+@functools.lru_cache(maxsize=None)
+def _tri_index():
+    import numpy as np
+    idx = np.zeros((6, 6), np.int32)
+    for r, (i, j) in enumerate(_TRI):
+        idx[i, j] = r
+        idx[j, i] = r
+    return idx
+
+
 def backend_supports_pallas() -> bool:
     try:
         return jax.default_backend() in ("tpu", "axon")

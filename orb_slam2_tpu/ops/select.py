@@ -24,7 +24,8 @@ import jax.numpy as jnp
 MAX_DEPTH = 7  # 4^7 * nIni cells — beyond any per-level budget
 
 
-def select_uniform_batched(score, budgets, per_cell: int = 1):
+def select_uniform_batched(score, budgets, per_cell: int = 1,
+                           max_depth: int = 9):
     """Batched form of `select_uniform` over all pyramid levels at once.
 
     score: (L, R0, C0) region score maps on a COMMON canvas (level l's
@@ -42,7 +43,11 @@ def select_uniform_batched(score, budgets, per_cell: int = 1):
     """
     L, H, W = score.shape
     n_ini = max(int(round(W / H)), 1)
-    D = MAX_DEPTH
+    # two depths deeper than the scalar form's per-level ladder: the canvas
+    # grid is shared by every level, so the finest cells must resolve the
+    # SMALLEST level's region (~1/4 canvas scale) as finely as that level's
+    # own ladder would — D=9 gives 1-3px finest cells at VGA
+    D = max_depth
     nrf = 1 << (D - 1)
     ncf = n_ini << (D - 1)
     ch = -(-H // nrf)

@@ -248,12 +248,63 @@ def compute_sim3(cfg: SlamConfig, m: mapstate.MapState, kf_id: int,
     matched_pt2 = jnp.where(sim3_matched,
                             m.kf_obs[cand_id][idxc], INVALID)
     Scw = sim3.compose(g_opt, sim3.Sim3.from_se3(m.kf_pose[cand_id]))
-    n_new = _count_loop_projection_matches(
+    n_new, proj_ids, proj_valid, proj_feat = _count_loop_projection_matches(
         cfg, m, kf_id, cand_id, Scw,
         already_matched=sim3_matched, exclude_pts=matched_pt2)
     n_total = int(jnp.sum(sim3_matched)) + n_new
     if n_total < 40:
         return False, None, None
+
+    # Scale-pinning refinement (round 4, monocular). The two-KF overlap
+    # alone leaves the Sim3 SCALE weakly observable on shallow scenes: a
+    # 13% scale error passed every reference gate here while |t| was 1 cm,
+    # and the 7-DoF essential graph then spread the bogus scale over the
+    # whole map (closure turned a 14 cm run into 54 cm). Pixels cannot fix
+    # it — for a camera-from-world Sim3, (alpha*s, alpha*t) projects
+    # identically — so the scale must come from 3D-3D pairs with WIDE
+    # geometry: the group-projection matches whose current-KF feature has
+    # its OWN current-map binding give exactly that (both sides carry
+    # independent 3D). Weighted Horn over the union pair set re-estimates
+    # the full Sim3; a final two-view OptimizeSim3 at FIXED scale polishes
+    # rotation/translation on the exact pixel measurements.
+    if cfg.sensor == SENSOR_MONOCULAR:
+        P = m.capacity_pt
+        # un-gated re-projection of the group points (no 'taken' exclusion —
+        # unlike the >=40 NEW-match gate above, the scale estimate wants
+        # every available pair, including features tracking already bound)
+        _, w_ids, w_valid, w_feat = _count_loop_projection_matches(
+            cfg, m, kf_id, cand_id, Scw)
+        featc = jnp.clip(w_feat, 0, m.n_feat - 1)
+        own = m.kf_obs[kf_id][featc]
+        ownc = jnp.clip(own, 0, P - 1)
+        vb = w_valid & (own >= 0) & m.pt_valid[ownc] & \
+            m.pt_valid[w_ids]
+        pc1b = se3.apply(m.kf_pose[kf_id], m.pt_pos[ownc])
+        pc2b = se3.apply(m.kf_pose[cand_id], m.pt_pos[w_ids])
+        n_wide = int(jnp.sum(vb))
+        import os as _os
+        if _os.environ.get("LOOP_DEBUG"):
+            print(f"  [scale-pin] n_wide={n_wide}", flush=True)
+        if n_wide >= 10:
+            wu = jnp.concatenate([(sim3_matched & inl).astype(jnp.float32),
+                                  vb.astype(jnp.float32)])
+            g_u = sim3_solver.horn_sim3(
+                jnp.concatenate([pcv2[idxc], pc2b]),
+                jnp.concatenate([pcv1, pc1b]), fix_scale=False, w=wu)
+            g_fin, _, n_fin = sim3_solver.optimize_sim3(
+                g_u, pcv1, pcv2[idxc],
+                m.kf_xy[kf_id], m.kf_xy[cand_id][idxc],
+                m.kf_level[kf_id], m.kf_level[cand_id][idxc],
+                pair_ok & ok1 & ok2[idxc],
+                cfg.level_sigma2, cfg.fx, cfg.fy, cfg.cx, cfg.cy,
+                fix_scale=True)
+            import os as _os
+            if _os.environ.get("LOOP_DEBUG"):
+                print(f"  [scale-pin] n_wide={n_wide} n_fin={int(n_fin)} "
+                      f"s {float(g_opt.s):.4f} -> {float(g_fin.s):.4f}",
+                      flush=True)
+            if int(n_fin) >= 20:
+                g_opt = g_fin
     return True, g_opt, int(n_inl)
 
 
@@ -314,7 +365,9 @@ def _count_loop_projection_matches(cfg: SlamConfig, m: mapstate.MapState,
         m.kf_angle[kf_id], taken,
         cfg.scale_factors, th=10.0, orb_dist=cfg.th_low,
         check_rotation=False)
-    return int(jnp.sum(mm.valid))
+    # (count, loop-point ids (P/4,), per-loop-point match validity, matched
+    # current-KF feature index) — the match arrays feed the Scw refinement
+    return int(jnp.sum(mm.valid)), idc, mm.valid, mm.idx
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))

@@ -575,7 +575,8 @@ def local_ba(cfg: SlamConfig, m: mapstate.MapState, kf_id,
         poses=poses, cam_valid=cam_used, cam_fixed=cam_fixed,
         points=m.pt_pos[sel_pt], pt_valid=sel_ok,
         obs_cam=ocam, obs_uvr=obs_uvr, obs_level=lvl)
-    res = schur_ba.solve_ba(cam, prob, cfg.level_sigma2)
+    res = schur_ba.solve_ba(cam, prob, cfg.level_sigma2,
+                            iters_a=cfg.ba_iters_a, iters_b=cfg.ba_iters_b)
 
     # write back poses + points
     wb = cam_used & ~cam_fixed

@@ -809,8 +809,14 @@ class SlamSystem:
         # bLocalMappingIdle stand-in (src/Tracking.cc:1537,1546-1567 +
         # SetAcceptKeyFrames): the mapper counts as busy for
         # mapper_busy_frames_effective frames after an insertion — one
-        # mapping iteration's wall time at the camera rate.
-        idle = frames_since > cfg.mapper_busy_frames_effective
+        # mapping iteration's wall time at the camera rate. On a young map
+        # (< 10 keyframes) one iteration is far cheaper than a frame
+        # interval (local BA and the table ops scale with the local map),
+        # so the mapper is idle — the regime right after monocular
+        # initialization, where the reference densifies with back-to-back
+        # insertions and throttling instead starves the thin map.
+        busy_window = cfg.mapper_busy_frames_effective if n_kf >= 10 else 0
+        idle = frames_since > busy_window
         c1a = frames_since >= int(cfg.fps)
         c1b = idle                       # mMinFrames = 0: c1b == idle
         c1c = cfg.sensor != SENSOR_MONOCULAR and \

@@ -131,7 +131,7 @@ def track_local_map(cfg: SlamConfig, m: mapstate.MapState, Tcw,
     Xw = m.pt_pos[jnp.clip(merged, 0, m.capacity_pt - 1)]
     obs = jnp.concatenate([cur.xy, cur.ur[:, None]], axis=-1)
     res = pose_opt.optimize_pose(cam, Tcw, Xw, obs, cur.level, has,
-                                 cfg.level_sigma2)
+                                 cfg.level_sigma2, use_pallas=cfg.use_pallas)
     final = jnp.where(res.inliers, merged, INVALID)
 
     # counters: visible = frustum hits; found = final inlier matches
@@ -189,7 +189,7 @@ def reloc_rescue(cfg: SlamConfig, m: mapstate.MapState, kf_id,
     Xw = m.pt_pos[jnp.clip(merged, 0, m.capacity_pt - 1)]
     obs = jnp.concatenate([cur.xy, cur.ur[:, None]], axis=-1)
     res = pose_opt.optimize_pose(cam, Tcw, Xw, obs, cur.level, has,
-                                 cfg.level_sigma2)
+                                 cfg.level_sigma2, use_pallas=cfg.use_pallas)
     final = jnp.where(res.inliers, merged, INVALID)
     return res.Tcw, final, res.n_inliers
 

@@ -160,7 +160,8 @@ def _step(cfg: SlamConfig, m: mapstate.MapState, cur: FrameData,
 
     obs = jnp.concatenate([cur.xy, cur.ur[:, None]], axis=-1)
     res_mm = pose_opt.optimize_pose(cam, T_pred, Xw_mm, obs, cur.level,
-                                    has_mm, cfg.level_sigma2)
+                                    has_mm, cfg.level_sigma2,
+                                    use_pallas=cfg.use_pallas)
     mm_ok = (res_mm.n_inliers >= 10) & (n_mm >= 20)
     matched_mm_final = jnp.where(res_mm.inliers & (matched_mm >= 0),
                                  matched_mm, INVALID)
@@ -178,7 +179,8 @@ def _step(cfg: SlamConfig, m: mapstate.MapState, cur: FrameData,
         has = matched >= 0
         Xw = m.pt_pos[jnp.clip(matched, 0, m.capacity_pt - 1)]
         res = pose_opt.optimize_pose(cam, T_last, Xw, obs, cur.level, has,
-                                     cfg.level_sigma2)
+                                     cfg.level_sigma2,
+                                     use_pallas=cfg.use_pallas)
         ok = (res.n_inliers >= 10) & (jnp.sum(has.astype(jnp.int32)) >= 15)
         return res.Tcw, jnp.where(res.inliers, matched, INVALID), ok
 

@@ -50,21 +50,37 @@ def _build_normal_eqs(cam, Tcw, Xw, obs, comp_stereo, inv_sigma2, weight_mask,
 
 
 def _lm_rounds(cam, Tcw, Xw, obs, comp_stereo, inv_sigma2, mask, robust: bool,
-               n_iters: int):
+               n_iters: int, use_pallas: bool = False, aux=None):
     """One reference 'round': n_iters LM steps at fixed inlier mask.
 
     ONE normal-equation build per iteration: the build at the accepted pose
     doubles as the next iteration's linearization (a rejected step reuses the
     carried H, b — identical to rebuilding at the unchanged pose, which the
-    round-2 version paid a second full residual+Jacobian pass per step for)."""
+    round-2 version paid a second full residual+Jacobian pass per step for).
+
+    use_pallas: build H/b/err with the fused TPU kernel
+    (ops/pallas_kernels.pose_normal_eqs_pallas) — the XLA build is ~45 op
+    launches per iteration of pure latency; aux carries the transposed
+    per-edge arrays shared across iterations."""
+
+    def build(T, m):
+        if not use_pallas:
+            return _build_normal_eqs(cam, T, Xw, obs, comp_stereo,
+                                     inv_sigma2, m, robust)
+        from ..ops import pallas_kernels as pk
+        Xw_t, obs_t, invs2_row, st_row = aux
+        return pk.pose_normal_eqs_pallas(
+            T, cam.fx, cam.fy, cam.cx, cam.cy, cam.bf, Xw_t, obs_t,
+            invs2_row, m[None, :], st_row,
+            jnp.float32(reproj.CHI2_MONO), jnp.float32(reproj.CHI2_STEREO),
+            robust=robust)
 
     def body(_, carry):
         T, lam, H, b, err = carry
         Hd = H + lam * jnp.diag(jnp.diag(H)) + 1e-10 * jnp.eye(6)
         dx = jnp.linalg.solve(Hd, b)
         T_new = se3.retract(T, dx)
-        H_new, b_new, err_new = _build_normal_eqs(
-            cam, T_new, Xw, obs, comp_stereo, inv_sigma2, mask, robust)
+        H_new, b_new, err_new = build(T_new, mask)
         accept = err_new < err
         T = jnp.where(accept, T_new, T)
         H = jnp.where(accept, H_new, H)
@@ -73,22 +89,40 @@ def _lm_rounds(cam, Tcw, Xw, obs, comp_stereo, inv_sigma2, mask, robust: bool,
                         jnp.minimum(lam * 4.0, 1e6))
         return T, lam, H, b, jnp.where(accept, err_new, err)
 
-    H0, b0, err0 = _build_normal_eqs(cam, Tcw, Xw, obs, comp_stereo,
-                                     inv_sigma2, mask, robust)
-    T, _, _, _, _ = jax.lax.fori_loop(
-        0, n_iters, body, (Tcw, jnp.float32(1e-4), H0, b0, err0))
-    return T
+    H0, b0, err0 = build(Tcw, mask)
+    carry = (Tcw, jnp.float32(1e-4), H0, b0, err0)
+    if use_pallas:
+        # unrolled: a pallas_call inside a lax.fori_loop body mis-executed
+        # on the axon backend (the kernel returned zeros while the SAME
+        # kernel standalone is bit-exact vs the XLA build); the unrolled
+        # form costs trace size only
+        for i in range(n_iters):
+            carry = body(i, carry)
+    else:
+        carry = jax.lax.fori_loop(0, n_iters, body, carry)
+    return carry[0]
 
 
-@functools.partial(jax.jit, static_argnames=("n_rounds", "n_iters"))
+@functools.partial(jax.jit, static_argnames=("n_rounds", "n_iters",
+                                             "use_pallas"))
 def optimize_pose(cam: Camera, Tcw0, Xw, obs_uvr, level, valid, level_sigma2,
-                  n_rounds: int = 4, n_iters: int = 10) -> PoseOptResult:
+                  n_rounds: int = 4, n_iters: int = 10,
+                  use_pallas: bool = False) -> PoseOptResult:
     """Xw: (E,3) world points; obs_uvr: (E,3) with uR = -1 for mono edges;
     level: (E,) keypoint octave; valid: (E,) edge mask."""
     sigma2 = jnp.asarray(level_sigma2, dtype=jnp.float32)
     inv_sigma2 = 1.0 / sigma2[jnp.clip(level, 0, sigma2.shape[0] - 1)]
     comp_stereo = obs_uvr[:, 2] >= 0
     delta2 = jnp.where(comp_stereo, reproj.CHI2_STEREO, reproj.CHI2_MONO)
+
+    use_pallas = use_pallas and Xw.shape[0] % 128 == 0
+    aux = None
+    if use_pallas:
+        # transpose the per-edge constants ONCE per solve
+        aux = (Xw.T.astype(jnp.float32),
+               obs_uvr.T.astype(jnp.float32),
+               inv_sigma2[None, :].astype(jnp.float32),
+               comp_stereo[None, :].astype(jnp.float32))
 
     # kill inherited rotation non-orthogonality: the retract chain
     # (exp(dx) @ T) preserves whatever error the seed carries, and on-device
@@ -98,7 +132,8 @@ def optimize_pose(cam: Camera, Tcw0, Xw, obs_uvr, level, valid, level_sigma2,
     for r in range(n_rounds):
         robust = r < 2  # reference drops the Huber kernel after round 2
         Tcw = _lm_rounds(cam, Tcw, Xw, obs_uvr, comp_stereo, inv_sigma2,
-                         inlier.astype(jnp.float32), robust, n_iters)
+                         inlier.astype(jnp.float32), robust, n_iters,
+                         use_pallas=use_pallas, aux=aux)
         # re-classify ALL valid edges (outliers can come back, like g2o's
         # computeError-on-level-1 edges)
         e, pc, comp_w = reproj.project_residual(cam, Tcw, Xw, obs_uvr, comp_stereo)

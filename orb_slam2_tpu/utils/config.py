@@ -113,12 +113,13 @@ class SlamConfig:
     local_ba_iters: int = 10
     global_ba_iters: int = 10
     # Local BA LM schedule: iters_a robust iterations, chi2 reclassification,
-    # iters_b more (src/Optimizer.cc:880-916 runs 5 then 10, but the second
-    # phase is ABORTED whenever tracking inserts a keyframe, mbAbortBA —
-    # in continuous operation the reference rarely completes it; 5+5 is the
-    # deployed default, with (5,10) available for offline parity)
+    # iters_b more — the reference's full 5 + 10 schedule
+    # (src/Optimizer.cc:880-916). (5, 5) approximates its mbAbortBA regime,
+    # where a new keyframe interrupts the second phase; every recorded bench
+    # ran the full schedule (round 4 discovered local_ba had ignored these
+    # knobs and used 5+10 throughout — the default now states the truth).
     ba_iters_a: int = 5
-    ba_iters_b: int = 5
+    ba_iters_b: int = 10
 
     # Periodic global BA every N keyframes (0 = off). The reference only
     # runs GBA on loop closure; this opt-in extension bounds monocular

@@ -21,7 +21,6 @@ def test_save_load_resume(tmp_path, rng):
     cfg = SlamConfig(
         fx=fx, fy=fx, cx=160.0, cy=120.0, width=320, height=240,
         n_features=400, bf=fx * 0.25, sensor=SENSOR_RGBD, fps=10.0,
-        mapper_busy_frames=0,   # offline serial harness
         th_depth=60.0, max_keyframes=32, max_map_points=1 << 13,
         ba_local_cams=8, ba_fixed_cams=8, ba_max_points=1 << 10,
         ba_max_obs=6, max_local_keyframes=16, max_local_points=1 << 11)

@@ -14,12 +14,6 @@ def small_cfg(sensor, **kw):
     base = dict(
         fx=fx, fy=fx, cx=160.0, cy=120.0, width=320, height=240,
         n_features=400, fps=10.0, th_depth=60.0, sensor=sensor,
-        # offline regime: the serial test harness finishes each mapping pass
-        # before the next frame arrives, so the mapper is genuinely idle
-        mapper_busy_frames=0,
-        # offline regime: the serial test harness finishes each mapping pass
-        # before the next frame arrives, so the mapper is genuinely idle
-        mapper_busy_frames=0,
         bf=fx * 0.1 if sensor != SENSOR_MONOCULAR else 0.0,
         max_keyframes=32, max_map_points=1 << 13,
         ba_local_cams=8, ba_fixed_cams=8, ba_max_points=1 << 10, ba_max_obs=6,

@@ -44,7 +44,6 @@ def test_mono_drift_under_noise():
     so NeedNewKeyFrame actually fires — VERDICT r1 weak #3)."""
     cfg = SlamConfig(fx=FX, fy=FX, cx=160.0, cy=120.0, width=320, height=240,
                      n_features=600, sensor=SENSOR_MONOCULAR, fps=10.0,
-                     mapper_busy_frames=0,   # offline serial harness
                      max_keyframes=128, max_map_points=1 << 14)
     world = PlateWorld(FX, FX, 160.0, 120.0, 320, 240, z0=5.0)
     cam = ImperfectCamera(world, noise_sigma=3.0, exposure_amp=0.2)
@@ -67,7 +66,6 @@ def test_rgbd_loop_under_noise():
     cfg = SlamConfig(fx=FX, fy=FX, cx=160.0, cy=120.0, width=320, height=240,
                      n_features=600, bf=FX * 0.25, sensor=SENSOR_RGBD,
                      fps=10.0, th_depth=40.0, max_keyframes=128,
-                     mapper_busy_frames=0,   # offline serial harness
                      max_map_points=1 << 14, ba_local_cams=16,
                      ba_fixed_cams=16, ba_max_points=1 << 11, ba_max_obs=8,
                      max_local_keyframes=32, max_local_points=1 << 12)

@@ -119,3 +119,48 @@ class TestProjectionBestTwo:
         np.testing.assert_array_equal(
             np.asarray(ref.idx)[np.asarray(ref.valid)],
             np.asarray(got.idx)[np.asarray(got.valid)])
+
+
+class TestPoseNormalEqs:
+    def test_matches_xla_build(self, rng):
+        """pose_normal_eqs_pallas (interpret mode) == _build_normal_eqs."""
+        import jax.numpy as jnp
+        from orb_slam2_tpu.solvers import pose_opt, reproj
+        from orb_slam2_tpu.geometry.camera import Camera
+        from orb_slam2_tpu.geometry import se3
+        E = 256
+        cam = Camera.make(300.0, 300.0, 160.0, 120.0, 0, 0, 0, 0, 0,
+                          30.0, 320, 240)
+        Xw = rng.normal(0, 1.0, (E, 3)).astype(np.float32) + [0, 0, 5.0]
+        T = np.eye(4, dtype=np.float32)
+        T[:3, 3] = [0.1, -0.05, 0.2]
+        pc = Xw @ T[:3, :3].T + T[:3, 3]
+        u = 300.0 * pc[:, 0] / pc[:, 2] + 160.0
+        v = 300.0 * pc[:, 1] / pc[:, 2] + 120.0
+        ur = u - 30.0 / pc[:, 2]
+        stereo = rng.random(E) < 0.5
+        obs = np.stack([u + rng.normal(0, 2, E), v + rng.normal(0, 2, E),
+                        np.where(stereo, ur + rng.normal(0, 2, E), -1.0)],
+                       axis=-1).astype(np.float32)
+        level = rng.integers(0, 8, E).astype(np.int32)
+        sigma2 = [1.2 ** (2 * i) for i in range(8)]
+        inv_s2 = (1.0 / np.asarray(sigma2)[level]).astype(np.float32)
+        mask = (rng.random(E) < 0.9).astype(np.float32)
+        comp_stereo = jnp.asarray(obs[:, 2] >= 0)
+        for robust in (True, False):
+            H0, b0, e0 = pose_opt._build_normal_eqs(
+                cam, jnp.asarray(T), jnp.asarray(Xw), jnp.asarray(obs),
+                comp_stereo, jnp.asarray(inv_s2), jnp.asarray(mask), robust)
+            H1, b1, e1 = pallas_kernels.pose_normal_eqs_pallas(
+                jnp.asarray(T), cam.fx, cam.fy, cam.cx, cam.cy, cam.bf,
+                jnp.asarray(Xw.T), jnp.asarray(obs.T),
+                jnp.asarray(inv_s2)[None], jnp.asarray(mask)[None],
+                np.asarray(comp_stereo, np.float32)[None],
+                jnp.float32(reproj.CHI2_MONO), jnp.float32(reproj.CHI2_STEREO),
+                robust=robust, interpret=True)
+            # f32 accumulation order differs (einsum tree vs lane sums)
+            np.testing.assert_allclose(np.asarray(H0), np.asarray(H1),
+                                       rtol=3e-4, atol=2e-3)
+            np.testing.assert_allclose(np.asarray(b0), np.asarray(b1),
+                                       rtol=3e-4, atol=2e-2)
+            np.testing.assert_allclose(float(e0), float(e1), rtol=3e-4)
