@@ -216,7 +216,11 @@ def _pose_hbe_kernel(par_ref, xw_ref, obs_ref, invs2_ref, mask_ref, st_ref,
     pcy = p(3) * x + p(4) * y + p(5) * z + p(10)
     pcz = p(6) * x + p(7) * y + p(8) * z + p(11)
     fx, fy, cx, cy, bf = p(12), p(13), p(14), p(15), p(16)
-    invz = 1.0 / jnp.maximum(pcz, 1e-9)
+    # behind-camera points: zero invz instead of 1/1e-9 — their Jacobian
+    # PRODUCTS (c*c ~ (fx*x*invz^2)^2 ~ 1e43) overflow f32 to inf and
+    # 0-weight * inf = NaN poisons H (the XLA einsum contracts the weight
+    # first and never forms the raw product; this kernel must not either)
+    invz = jnp.where(pcz > 1e-6, 1.0 / jnp.maximum(pcz, 1e-9), 0.0)
     invz2 = invz * invz
     u = fx * pcx * invz + cx
     v = fy * pcy * invz + cy
@@ -256,22 +260,25 @@ def _pose_hbe_kernel(par_ref, xw_ref, obs_ref, invs2_ref, mask_ref, st_ref,
     # the (32,128) f32 tile executed incorrectly on Mosaic (fine in
     # interpret mode): the kernel returned zeros and pose opt silently
     # no-opped on hardware
+    # stack all 28 weighted per-edge product rows into one (32,E) matrix and
+    # reduce ONCE along lanes — 28 separate full reductions ran as serial
+    # VPU passes; the weight multiplies each FACTOR group before any
+    # Jacobian product is formed (see invz guard above)
     rows = []
+    wJu = [w * asv(Ju[i]) for i in range(6)]
+    wJv = [w * asv(Jv[i]) for i in range(6)]
+    wJr = [w * st * asv(Jr[i]) for i in range(6)]
     for i in range(6):
         for j in range(i, 6):
-            rows.append(jnp.sum(
-                w * (asv(Ju[i] * Ju[j]) + asv(Jv[i] * Jv[j]) +
-                     st * asv(Jr[i] * Jr[j])), keepdims=True))
+            rows.append(wJu[i] * asv(Ju[j]) + wJv[i] * asv(Jv[j]) +
+                        wJr[i] * asv(Jr[j]))
     for i in range(6):
-        rows.append(-jnp.sum(
-            w * (asv(Ju[i]) * eu + asv(Jv[i]) * ev + st * asv(Jr[i]) * eur),
-            keepdims=True))
-    rows.append(jnp.sum(chi2 * mask, keepdims=True))
-    rows.append(jnp.zeros((1, 1), x.dtype))
-    rows.append(jnp.zeros((1, 1), x.dtype))
-    rows.append(jnp.zeros((1, 1), x.dtype))
-    vec = jnp.concatenate(rows, axis=0)     # (31,1)... pad to 32 sublanes
-    vec = jnp.concatenate([vec, jnp.zeros((1, 1), x.dtype)], axis=0)
+        rows.append(-(wJu[i] * eu + wJv[i] * ev + wJr[i] * eur))
+    rows.append(chi2 * mask)
+    z = jnp.zeros_like(x)
+    rows += [z, z, z, z]
+    mat = jnp.concatenate(rows, axis=0)                 # (32, E)
+    vec = jnp.sum(mat, axis=1, keepdims=True)           # (32, 1)
     out_ref[...] = jnp.broadcast_to(vec, (32, 128))
 
 

@@ -90,17 +90,9 @@ def _lm_rounds(cam, Tcw, Xw, obs, comp_stereo, inv_sigma2, mask, robust: bool,
         return T, lam, H, b, jnp.where(accept, err_new, err)
 
     H0, b0, err0 = build(Tcw, mask)
-    carry = (Tcw, jnp.float32(1e-4), H0, b0, err0)
-    if use_pallas:
-        # unrolled: a pallas_call inside a lax.fori_loop body mis-executed
-        # on the axon backend (the kernel returned zeros while the SAME
-        # kernel standalone is bit-exact vs the XLA build); the unrolled
-        # form costs trace size only
-        for i in range(n_iters):
-            carry = body(i, carry)
-    else:
-        carry = jax.lax.fori_loop(0, n_iters, body, carry)
-    return carry[0]
+    T, _, _, _, _ = jax.lax.fori_loop(
+        0, n_iters, body, (Tcw, jnp.float32(1e-4), H0, b0, err0))
+    return T
 
 
 @functools.partial(jax.jit, static_argnames=("n_rounds", "n_iters",

@@ -132,6 +132,8 @@ class TestPoseNormalEqs:
         cam = Camera.make(300.0, 300.0, 160.0, 120.0, 0, 0, 0, 0, 0,
                           30.0, 320, 240)
         Xw = rng.normal(0, 1.0, (E, 3)).astype(np.float32) + [0, 0, 5.0]
+        Xw[:8, 2] = -0.5    # behind-camera points: the Jacobian products
+        # overflow f32 unless the kernel zeroes invz (H went NaN on TPU)
         T = np.eye(4, dtype=np.float32)
         T[:3, 3] = [0.1, -0.05, 0.2]
         pc = Xw @ T[:3, :3].T + T[:3, 3]
