@@ -74,55 +74,6 @@ def ic_angles(img, ys, xs):
     return jnp.where(ang < 0, ang + 360.0, ang)
 
 
-def ic_angles_canvas(canvas, lvl, ys, xs):
-    """`ic_angles` over a stacked pyramid canvas: canvas (L,H,W); per
-    keypoint (lvl, ys, xs) in level coordinates (every level anchored at the
-    canvas origin). One batched dynamic_slice gather for ALL levels'
-    keypoints — the per-level unrolled path paid 8 gather launches."""
-    mask = jnp.asarray(_circular_mask())
-    us = jnp.arange(-HALF_PATCH, HALF_PATCH + 1, dtype=jnp.float32)
-    wu = us[None, :] * mask
-    wv = us[:, None] * mask
-
-    def one(l, y, x):
-        patch = jax.lax.dynamic_slice(
-            canvas, (l, y - HALF_PATCH, x - HALF_PATCH),
-            (1, 2 * HALF_PATCH + 1, 2 * HALF_PATCH + 1))[0]
-        return jnp.sum(patch * wu), jnp.sum(patch * wv)
-
-    m10, m01 = jax.vmap(one)(lvl, ys, xs)
-    ang = jnp.degrees(jnp.arctan2(m01, m10))
-    return jnp.where(ang < 0, ang + 360.0, ang)
-
-
-def steered_brief_canvas(blur_canvas, lvl, ys, xs, angles_deg, level_hw):
-    """`steered_brief` over a stacked blurred pyramid canvas. level_hw:
-    static (L, 2) numpy array of per-level (h, w) — samples clamp to the
-    KEYPOINT'S level extent exactly like the per-level path clamps to its
-    level image."""
-    pat = jnp.asarray(brief_pattern())
-    px = jnp.concatenate([pat[:, 0], pat[:, 2]]).astype(jnp.float32)
-    py = jnp.concatenate([pat[:, 1], pat[:, 3]]).astype(jnp.float32)
-    theta = jnp.radians(angles_deg)
-    ca, sa = jnp.cos(theta), jnp.sin(theta)
-    dx = jnp.round(px[None, :] * ca[:, None] - py[None, :] * sa[:, None]).astype(jnp.int32)
-    dy = jnp.round(px[None, :] * sa[:, None] + py[None, :] * ca[:, None]).astype(jnp.int32)
-
-    L, H, W = blur_canvas.shape
-    hw = jnp.asarray(np.asarray(level_hw, np.int32))    # (L, 2)
-    h_l = hw[lvl, 0][:, None]
-    w_l = hw[lvl, 1][:, None]
-    gy = jnp.clip(ys[:, None] + dy, 0, h_l - 1)
-    gx = jnp.clip(xs[:, None] + dx, 0, w_l - 1)
-    flat = (lvl[:, None] * (H * W) + gy * W + gx)
-    vals = jnp.take(blur_canvas.reshape(-1), flat)      # (N, 512)
-    bits = (vals[:, :256] < vals[:, 256:])
-    bits = bits.reshape(-1, 8, 32).astype(jnp.uint32)
-    shifts = jnp.arange(32, dtype=jnp.uint32)
-    words = jnp.sum(bits << shifts[None, None, :], axis=-1)
-    return words.astype(jnp.uint32)
-
-
 @functools.lru_cache(maxsize=None)
 def brief_pattern() -> np.ndarray:
     """(256, 4) int32 sampling offsets (x0,y0,x1,y1) — the fixed learned ORB

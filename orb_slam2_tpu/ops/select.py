@@ -24,100 +24,6 @@ import jax.numpy as jnp
 MAX_DEPTH = 7  # 4^7 * nIni cells — beyond any per-level budget
 
 
-def select_uniform_batched(score, budgets, per_cell: int = 1,
-                           max_depth: int = 9):
-    """Batched form of `select_uniform` over all pyramid levels at once.
-
-    score: (L, R0, C0) region score maps on a COMMON canvas (level l's
-    region occupies the top-left of its slice; everything outside carries
-    -inf). budgets: per-level static budgets. Returns (ys, xs, resp, valid)
-    each (L, max(budgets)) in REGION coordinates; rows beyond a level's
-    budget are invalid.
-
-    Same geometric cell ladder as the scalar form, evaluated once with the
-    level axis batched (reshape pools): the per-level unrolled version cost
-    8x the op-launch latency for identical math — the dominant term of
-    extraction on TPU (PERF.md round 3). Cells are canvas-aligned, so every
-    level shares one grid; a level's occupied-cell counts see only its own
-    candidates (the -inf padding outside its region).
-    """
-    L, H, W = score.shape
-    n_ini = max(int(round(W / H)), 1)
-    # two depths deeper than the scalar form's per-level ladder: the canvas
-    # grid is shared by every level, so the finest cells must resolve the
-    # SMALLEST level's region (~1/4 canvas scale) as finely as that level's
-    # own ladder would — D=9 gives 1-3px finest cells at VGA
-    D = max_depth
-    nrf = 1 << (D - 1)
-    ncf = n_ini << (D - 1)
-    ch = -(-H // nrf)
-    cw = -(-W // ncf)
-    R, C = nrf * ch, ncf * cw
-    B = max(budgets)
-
-    sl = jnp.pad(score, ((0, 0), (0, R - H), (0, C - W)),
-                 constant_values=-jnp.inf)
-    cand = sl > -jnp.inf
-    lin = jnp.arange(R * C, dtype=jnp.int32).reshape(R, C)[None]
-    NOIDX = jnp.int32(R * C)
-    F = nrf * ncf
-
-    def pool(a, nr, nc, op):
-        return op(a.reshape(L, nr, R // nr, nc, C // nc), axis=(2, 4))
-
-    def up(g, nr, nc):
-        return jnp.repeat(jnp.repeat(g, R // nr, axis=1), C // nc, axis=2)
-
-    def winners_at(values, vcand, nr, nc):
-        gmax = pool(values, nr, nc, jnp.max)
-        is_max = vcand & (values == up(gmax, nr, nc))
-        first = pool(jnp.where(is_max, lin, NOIDX), nr, nc, jnp.min)
-        win_mask = is_max & (lin == up(first, nr, nc))
-        return gmax, first, win_mask
-
-    val_rows, idx_rows, occupied = [], [], []
-    for d in range(D):
-        nr, nc = 1 << d, n_ini << d
-        gmax, first, winner = winners_at(sl, cand, nr, nc)
-        occupied.append(jnp.sum((gmax > -jnp.inf).astype(jnp.int32),
-                                axis=(1, 2)))                       # (L,)
-        vals = [jnp.pad(gmax.reshape(L, -1), ((0, 0), (0, F - nr * nc)),
-                        constant_values=-jnp.inf)]
-        idxs = [jnp.pad(first.reshape(L, -1), ((0, 0), (0, F - nr * nc)),
-                        constant_values=NOIDX)]
-        if per_cell >= 2:
-            sl2 = jnp.where(winner, -jnp.inf, sl)
-            gmax2, first2, _ = winners_at(sl2, sl2 > -jnp.inf, nr, nc)
-            vals.append(jnp.pad(gmax2.reshape(L, -1),
-                                ((0, 0), (0, F - nr * nc)),
-                                constant_values=-jnp.inf))
-            idxs.append(jnp.pad(first2.reshape(L, -1),
-                                ((0, 0), (0, F - nr * nc)),
-                                constant_values=NOIDX))
-        val_rows.append(jnp.concatenate(vals, axis=1))
-        idx_rows.append(jnp.concatenate(idxs, axis=1))
-
-    occ_arr = jnp.stack(occupied, axis=0)               # (D, L)
-    budget_arr = jnp.asarray(np.array(budgets, np.int32))
-    reaches = occ_arr >= budget_arr[None, :]
-    depth = jnp.where(jnp.any(reaches, axis=0),
-                      jnp.argmax(reaches, axis=0), D - 1)           # (L,)
-    vals_all = jnp.stack(val_rows, axis=0)              # (D, L, F*pc)
-    idxs_all = jnp.stack(idx_rows, axis=0)
-    sel_val = jnp.take_along_axis(vals_all, depth[None, :, None],
-                                  axis=0)[0]            # (L, F*pc)
-    sel_idx = jnp.take_along_axis(idxs_all, depth[None, :, None], axis=0)[0]
-
-    resp, k = jax.lax.top_k(sel_val, B)                 # (L, B)
-    idx = jnp.take_along_axis(sel_idx, k, axis=1)
-    rank_ok = jnp.arange(B, dtype=jnp.int32)[None, :] < budget_arr[:, None]
-    valid = (resp > -jnp.inf) & (idx < NOIDX) & rank_ok
-    idxc = jnp.minimum(idx, NOIDX - 1)
-    ys = jnp.minimum((idxc // C).astype(jnp.int32), H - 1)
-    xs = jnp.minimum((idxc % C).astype(jnp.int32), W - 1)
-    return ys, xs, resp, valid
-
-
 def select_uniform(score, budget: int,
                    min_border_x: int, max_border_x: int,
                    min_border_y: int, max_border_y: int,

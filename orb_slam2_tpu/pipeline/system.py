@@ -79,8 +79,23 @@ class SlamSystem:
     """Facade: construct once, call track_* per frame, then get_trajectory()."""
 
     def __init__(self, cfg: SlamConfig, vocabulary=None, enable_loop_closing=True,
-                 gba_mesh=None, pipeline_depth: int = 0):
+                 gba_mesh=None, pipeline_depth: int = 0,
+                 mapping_device=None):
         self.cfg = cfg
+        # Two-chip pipeline split (SURVEY P1/P7): with `mapping_device` set
+        # and the pipelined stream active, every keyframe's mapping pass
+        # (cull/triangulate/fuse/local BA) is dispatched to that device and
+        # its result adopted at the NEXT retire — tracking keeps streaming
+        # on the pre-keyframe snapshot meanwhile, exactly the reference's
+        # tracking-thread/mapping-thread relaxation across two chips. The
+        # pure MapState -> MapState mapping pass makes the split a pure
+        # dataflow edge (no locks to translate).
+        self.mapping_device = mapping_device
+        self.tracking_device = None
+        if mapping_device is not None:
+            import jax as _jax
+            self.tracking_device = _jax.devices()[0]
+        self._pending_mapping = None
         # pipeline_depth > 0 enables the software-pipelined tracking stream:
         # dispatch frame i, retire frame i-depth (read its scalars, run the
         # keyframe decision). The device runs ahead of the host, hiding the
@@ -564,6 +579,21 @@ class SlamSystem:
         transfer, prefetched with copy_to_host_async at dispatch), run the
         host-side tail of the tracking state machine (KF decision, loop
         closing, trajectory recording). Returns its pose or None if lost."""
+        if self._pending_mapping is not None:
+            # split mode: adopt the mapping-device result dispatched at the
+            # previous keyframe (its compute overlapped the tracked frames
+            # in flight on the tracking chip)
+            t0 = time.time()
+            pend = self._pending_mapping
+            self._pending_mapping = None
+            Tcw_kf, matched_kf, corrected = self._finish_keyframe(pend)
+            self.stage_ms["mapping_adopt_wall"] = (time.time() - t0) * 1e3
+            if corrected:
+                # pose-graph/GBA rewrote poses: the stream chain is stale
+                self._drain_pipeline(record_lost=False)
+                self._set_last(pend["f"], np.asarray(Tcw_kf), matched_kf)
+                self._chain = None
+                self._kf_blackout_fid = self.frame_id
         timestamp, fid, res = self._pending.popleft()
         sc, Tcw, T_rel = _unpack(jax.device_get(res.packed))
         ok = bool(sc[0])
@@ -630,12 +660,25 @@ class SlamSystem:
                 ts2, fid2, res2, Tcw2 = newest
             else:
                 ts2, fid2, res2, Tcw2 = timestamp, fid, res, Tcw
-            Tcw_kf, matched_kf, corrected = self._handle_keyframe(
-                res2.frame, Tcw2, res2.matched_pt, fid2, ts2)
-            self._set_last(res2.frame, np.asarray(Tcw_kf), matched_kf)
-            self._chain = None
-            # no KF decisions for frames dispatched before this insertion
-            self._kf_blackout_fid = self.frame_id
+            if self.mapping_device is not None:
+                # split: enqueue the pass on the mapping chip and keep
+                # streaming against the current snapshot; the result is
+                # adopted at the next retire (new points then reach
+                # tracking through the map, and stale last-frame bindings
+                # resolve through pt_forward / CheckReplaced)
+                self._pending_mapping = self._dispatch_mapping(
+                    res2.frame, Tcw2, res2.matched_pt, fid2, ts2)
+                self._set_last(res2.frame, np.asarray(Tcw2), res2.matched_pt)
+                self._chain = None
+                self._kf_blackout_fid = self.frame_id
+                Tcw_kf = Tcw2
+            else:
+                Tcw_kf, matched_kf, corrected = self._handle_keyframe(
+                    res2.frame, Tcw2, res2.matched_pt, fid2, ts2)
+                self._set_last(res2.frame, np.asarray(Tcw_kf), matched_kf)
+                self._chain = None
+                # no KF decisions for frames dispatched before this insertion
+                self._kf_blackout_fid = self.frame_id
             self.metrics.append(dict(frame=fid2, state="OK", kf=True,
                                      inliers=n_local,
                                      ref_matches=int(sc[4]),
@@ -685,6 +728,10 @@ class SlamSystem:
         src/System.cc:349-360). Call at end of a sequence before reading the
         trajectory."""
         self._flush_pipeline()
+        if self._pending_mapping is not None:
+            pend = self._pending_mapping
+            self._pending_mapping = None
+            self._finish_keyframe(pend)
         while self._gba_chunks_left > 0:
             n = max(1, -(-self.cfg.gba_total_iters //
                          self.cfg.gba_async_chunks))
@@ -702,14 +749,50 @@ class SlamSystem:
         keyframe_pass summary + the loop-candidate list), plus rare extras
         when a keyframe was actually culled or a loop candidate passes the
         consistency gate (compute_sim3 is host-sequenced)."""
-        cfg = self.cfg
+        pend = self._dispatch_mapping(f, Tcw, matched_pt, fid, timestamp)
+        return self._finish_keyframe(pend)
+
+    def _dispatch_mapping(self, f: FrameData, Tcw, matched_pt, fid: int,
+                          timestamp: float):
+        """Enqueue the fused mapping pass — on `self.mapping_device` when the
+        two-chip pipeline split is active (SURVEY P1/P7: tracking chip 0,
+        mapping chip 1; the pure-snapshot MapState makes the split a pure
+        dataflow edge), else in-place. Returns the pending-event record."""
         t_kf0 = time.time()
-        self.m, culled, summary = mapping_ops.keyframe_pass(
-            cfg, self.m, f, jnp.asarray(Tcw), jnp.asarray(matched_pt),
-            fid, timestamp)
+        m, f_m, Tcw_d, mp = (self.m, f, jnp.asarray(Tcw),
+                             jnp.asarray(matched_pt))
+        if self.mapping_device is not None:
+            m = jax.device_put(m, self.mapping_device)
+            f_m = jax.device_put(f_m, self.mapping_device)
+            Tcw_d = jax.device_put(Tcw_d, self.mapping_device)
+            mp = jax.device_put(mp, self.mapping_device)
+        m_new, culled, summary = mapping_ops.keyframe_pass(
+            self.cfg, m, f_m, Tcw_d, mp, fid, timestamp)
         self.last_kf_frame_id = fid
         self._kf_seq_host += 1
-        kf_seq = self._kf_seq_host
+        return dict(m=m_new, culled=culled, summary=summary, f=f,
+                    fid=fid, timestamp=timestamp, kf_seq=self._kf_seq_host,
+                    t_kf0=t_kf0, Tcw=np.asarray(Tcw))
+
+    def _finish_keyframe(self, pend):
+        """Adopt a mapping pass's result: place recognition, the ONE host
+        transfer, loop closing, amortized GBA. In split mode this runs one
+        retire later, with the map transferred back to the tracking device
+        (per-frame visible/found counter updates from the frames tracked in
+        between are superseded by the snapshot — the same benign race the
+        reference's tracking/mapping threads have on MapPoint counters)."""
+        cfg = self.cfg
+        t_kf0 = pend["t_kf0"]
+        f = pend["f"]
+        kf_seq = pend["kf_seq"]
+        culled = pend["culled"]
+        summary = pend["summary"]
+        if self.mapping_device is not None:
+            self.m = jax.device_put(pend["m"], self.tracking_device)
+            summary = jax.device_put(summary, self.tracking_device)
+        else:
+            self.m = pend["m"]
+        Tcw = pend["Tcw"]
         loops_before = self.n_loops_closed
         # place-recognition dispatches (still no host sync)
         self._ensure_vocabulary(f)
@@ -787,6 +870,10 @@ class SlamSystem:
         cfg = self.cfg
         if fid is None:
             fid = self.frame_id
+        if self._pending_mapping is not None:
+            # split mode: one mapping pass in flight — the reference's
+            # KeyframesInQueue() >= N backpressure (src/Tracking.cc:1605)
+            return False
         if int(self._nkf_cache()) >= cfg.max_keyframes - 2:
             return False
         n_kf_now = self._nkf_cache()
@@ -895,6 +982,7 @@ class SlamSystem:
         self._n_kf_host = None
         self._pending.clear()   # in-flight stream results reference the old map
         self._chain = None
+        self._pending_mapping = None
 
     def get_tracking_state(self):
         return self.state

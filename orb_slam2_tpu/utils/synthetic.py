@@ -231,7 +231,7 @@ class BlockWorld:
     def __init__(self, fx, fy, cx, cy, width, height, block=28.0,
                  street_half_width=3.5, cam_height=1.5, wall_height=5.0,
                  panel_len=4.0, tex_size=2048, tex_scale=100.0, seed=3,
-                 depth_range=12.0):
+                 depth_range=12.0, recess_depth=0.7):
         self.fx, self.fy, self.cx, self.cy = fx, fy, cx, cy
         self.w, self.h = width, height
         self.block = block
@@ -260,17 +260,47 @@ class BlockWorld:
             # facing outward (normal +coord_sign) — both toward the street
             # ring that lies between them
             for coord_sign in (+1.0, -1.0):
-                off = side_off * coord_sign
+                base_off = side_off * coord_sign
                 nrm = sgn * coord_sign      # toward the street centerline
                 for axis in (0, 2):
+                    u_axis = 2 if axis == 0 else 0
                     u = lo
+                    recessed = False
+                    prev_off = base_off
                     while u < hi:
                         ulen = min(panel_len * rng.uniform(0.7, 1.5), hi - u)
                         htop = wall_height * rng.uniform(0.5, 1.0)
+                        # SERRATED facades: alternate panels recess away
+                        # from the street (doorways/pillars) — the frontal
+                        # connector strips face along the street, giving the
+                        # matcher viewpoint-stable surfaces (a perfectly
+                        # flat canyon is all grazing-angle texture, which
+                        # rBRIEF matches poorly under forward motion)
+                        jog = recess_depth * rng.uniform(0.5, 1.0)
+                        off = base_off - (nrm * jog if recessed else 0.0)
                         panels.append((axis, off, nrm, u, u + ulen,
                                        g - htop, g,
                                        rng.uniform(0, tex_size),
                                        rng.uniform(0, tex_size)))
+                        if abs(off - prev_off) > 1e-6:
+                            # frontal connector between the two wall depths
+                            # (a doorway jamb): plane u = const spanning the
+                            # jog, one panel per face — the occluded face is
+                            # hidden by the nearest-hit test
+                            o_lo = min(off, prev_off)
+                            o_hi = max(off, prev_off)
+                            panels.append((u_axis, u, -1.0, o_lo, o_hi,
+                                           g - min(htop, wall_height * 0.6),
+                                           g,
+                                           rng.uniform(0, tex_size),
+                                           rng.uniform(0, tex_size)))
+                            panels.append((u_axis, u, +1.0, o_lo, o_hi,
+                                           g - min(htop, wall_height * 0.6),
+                                           g,
+                                           rng.uniform(0, tex_size),
+                                           rng.uniform(0, tex_size)))
+                        prev_off = off
+                        recessed = not recessed
                         u += ulen
         self.panels = panels
 
@@ -346,7 +376,10 @@ class BlockWorld:
         tx = best_u * self.tex_scale + best_ou
         ty = best_v * self.tex_scale + best_ov
         img = self._sample(tx, ty)
-        img = np.where(valid, img, 0.0).astype(np.float32)
+        # flat mid-gray sky: a BLACK sky turned every roofline into
+        # maximum-contrast silhouette corners — view-dependent non-landmarks
+        # that hogged the per-cell selection budget and matched erratically
+        img = np.where(valid, img, 60.0).astype(np.float32)
         if not want_depth:
             return img, None
         # camera-frame z of the hit point = t * (unit-z of the ray in cam
