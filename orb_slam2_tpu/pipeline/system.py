@@ -729,9 +729,11 @@ class SlamSystem:
         trajectory."""
         self._flush_pipeline()
         if self._pending_mapping is not None:
+            t0 = time.time()
             pend = self._pending_mapping
             self._pending_mapping = None
             self._finish_keyframe(pend)
+            self.stage_ms["mapping_adopt_wall"] = (time.time() - t0) * 1e3
         while self._gba_chunks_left > 0:
             n = max(1, -(-self.cfg.gba_total_iters //
                          self.cfg.gba_async_chunks))
