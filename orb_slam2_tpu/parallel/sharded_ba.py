@@ -44,7 +44,7 @@ def _assemble_partial(cam, prob, poses, points, inv_sigma2, edge_mask, robust,
 
     ci = jnp.clip(prob.obs_cam, 0, C - 1)
     edge_on = edge_mask > 0
-    # one-hot MXU contraction when it fits (see schur_ba._assemble_and_solve)
+    # one-hot MXU contraction when it fits (see schur_ba._assemble)
     use_onehot = Q * O * C <= (1 << 26)
     if use_onehot:
         onehot = ((prob.obs_cam[:, :, None] ==
