@@ -15,6 +15,7 @@ calls after each keyframe insertion (the reference's thread 3):
 from __future__ import annotations
 
 import functools
+import os
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -29,6 +30,9 @@ from ..utils.config import SlamConfig, SENSOR_MONOCULAR
 from . import mapping_ops
 
 INVALID = -1
+
+# gate for verbose loop diagnostics (set LOOP_DEBUG=1 in the environment)
+LOOP_DEBUG = bool(os.environ.get("LOOP_DEBUG"))
 
 
 MAX_LOOP_CANDIDATES = 8      # consistent candidates returned per detection
@@ -282,11 +286,8 @@ def compute_sim3(cfg: SlamConfig, m: mapstate.MapState, kf_id: int,
         pc1b = se3.apply(m.kf_pose[kf_id], m.pt_pos[ownc])
         pc2b = se3.apply(m.kf_pose[cand_id], m.pt_pos[w_ids])
         n_wide = int(jnp.sum(vb))
-        import os as _os
-        if _os.environ.get("LOOP_DEBUG"):
-            print(f"  [scale-pin] n_wide={n_wide}", flush=True)
         if n_wide >= 10:
-            wu = jnp.concatenate([(sim3_matched & inl).astype(jnp.float32),
+            wu = jnp.concatenate([sim3_matched.astype(jnp.float32),
                                   vb.astype(jnp.float32)])
             g_u = sim3_solver.horn_sim3(
                 jnp.concatenate([pcv2[idxc], pc2b]),
@@ -298,8 +299,7 @@ def compute_sim3(cfg: SlamConfig, m: mapstate.MapState, kf_id: int,
                 pair_ok & ok1 & ok2[idxc],
                 cfg.level_sigma2, cfg.fx, cfg.fy, cfg.cx, cfg.cy,
                 fix_scale=True)
-            import os as _os
-            if _os.environ.get("LOOP_DEBUG"):
+            if LOOP_DEBUG:
                 print(f"  [scale-pin] n_wide={n_wide} n_fin={int(n_fin)} "
                       f"s {float(g_opt.s):.4f} -> {float(g_fin.s):.4f}",
                       flush=True)

@@ -594,6 +594,10 @@ class SlamSystem:
                 self._set_last(pend["f"], np.asarray(Tcw_kf), matched_kf)
                 self._chain = None
                 self._kf_blackout_fid = self.frame_id
+                # the drain just emptied the in-flight queue (and recorded
+                # every frame) — there is nothing left to retire this call
+                if not self._pending:
+                    return np.asarray(Tcw_kf)
         timestamp, fid, res = self._pending.popleft()
         sc, Tcw, T_rel = _unpack(jax.device_get(res.packed))
         ok = bool(sc[0])

@@ -12,6 +12,8 @@ state, just a one-event adoption delay.
 Runs on the 8-virtual-device CPU mesh from conftest; on hardware the same
 code targets two TPU chips with the map snapshot riding ICI.
 """
+import dataclasses
+
 import jax
 import numpy as np
 import pytest
@@ -74,3 +76,27 @@ def test_split_matches_single_device():
     # the adopted map lives on the tracking device
     dev = list(s_two.m.kf_pose.devices())[0]
     assert dev == jax.devices()[0]
+
+
+@pytest.mark.slow
+def test_split_survives_pose_correction():
+    """The corrected branch of the split adoption (loop closure / periodic
+    GBA / amortized GBA chunk) drains the in-flight queue; the retire that
+    adopted the pass must then return the keyframe pose instead of popping
+    an empty deque (advisor r4 high: IndexError at the first correction in
+    any mapping_device run with loop closing on)."""
+    assert len(jax.devices()) >= 2
+    cfg = dataclasses.replace(_cfg(), gba_every_n_kf=2,
+                              gba_total_iters=4)
+    world = PlateWorld(FX, FX, 160.0, 120.0, 320, 240, z0=5.0)
+    gt = lateral_trajectory(40, step=0.05)
+    frames = [world.render_with_depth(T) for T in gt]
+    s = SlamSystem(cfg, enable_loop_closing=True, pipeline_depth=2,
+                   mapping_device=jax.devices()[1])
+    for i, (img, d) in enumerate(frames):
+        s.track_rgbd(img, d, i / cfg.fps)
+    s.flush()
+    traj = s.get_trajectory()
+    assert len(traj) >= 0.9 * len(gt), f"tracked {len(traj)}/{len(gt)}"
+    # the corrected branch genuinely fired (periodic GBA every 2 KFs)
+    assert int(s.m.n_keyframes) >= 3
