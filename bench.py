@@ -66,7 +66,7 @@ def main():
         kw = dict(max_keyframes=64, max_map_points=1 << 14,
                   ba_local_cams=16, ba_fixed_cams=16, ba_max_points=1 << 11,
                   ba_max_obs=8, max_local_keyframes=32,
-                  max_local_points=1 << 12, use_pallas=False)
+                  max_local_points=1 << 12)
     else:
         fx, W, H, nf = 517.3, 640, 480, 1000
         # capacities sized to the workload (~40 keyframes / <10k points over
@@ -74,7 +74,8 @@ def main():
         # fixed-shape costs that still scale with capacity (compactions,
         # table blanks) then reflect the actual map, and the chunk-skipped
         # incidence ops already scale with CONTENT
-        kw = dict(use_pallas=True, max_keyframes=128, max_map_points=1 << 14)
+        # use_pallas resolves to ON via the backend AUTO default
+        kw = dict(max_keyframes=128, max_map_points=1 << 14)
     # loop closing is ON and measured (VERDICT r2 weak #3): per-KF BoW
     # transform, DB add and loop detection are real reference costs
     # (src/LocalMapping.cc:181, src/LoopClosing.cc:137). GBA amortization

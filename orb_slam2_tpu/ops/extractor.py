@@ -56,14 +56,14 @@ def pyramid_sizes(height: int, width: int, n_levels: int, scale_factor: float):
 
 def build_pyramid(img, cfg: SlamConfig):
     """(H,W) float32 -> list of per-level images (cascaded bilinear resize).
-    With cfg.use_pallas (the TPU-optimized build) the resize matmuls run at
+    With cfg.use_pallas_effective (the TPU-optimized build) the resize matmuls run at
     the MXU's native bf16 rate; the CPU/oracle path stays f32-exact."""
     sizes = pyramid_sizes(img.shape[0], img.shape[1], cfg.n_levels, cfg.scale_factor)
     pyr = [img]
     for lvl in range(1, cfg.n_levels):
         h, w = sizes[lvl]
         pyr.append(image_ops.resize_bilinear(pyr[-1], h, w,
-                                             fast=cfg.use_pallas))
+                                             fast=cfg.use_pallas_effective))
     return pyr
 
 

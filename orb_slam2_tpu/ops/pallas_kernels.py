@@ -329,6 +329,155 @@ def _tri_index():
     return idx
 
 
+# ---------------------------------------------------------------------------
+# Fused local/global-BA edge assembly (binary pose-point edges)
+# ---------------------------------------------------------------------------
+
+BA_TILE_E = 2048      # lanes per grid step; inputs ~90KB, output 512KB VMEM
+
+# output row layout of _ba_edge_kernel (rows of the (64, E) result)
+_TRI3 = [(i, j) for i in range(3) for j in range(i, 3)]
+BA_ROW_HCC = 0        # 21 rows: upper triangle of the 6x6 pose block
+BA_ROW_W = 21         # 18 rows: the 6x3 pose-point block, row-major
+BA_ROW_HPP = 39       # 6 rows: upper triangle of the 3x3 point block
+BA_ROW_BC = 45        # 6 rows: pose rhs
+BA_ROW_BP = 51        # 3 rows: point rhs
+BA_ROW_ERR = 54       # chi2 * mask (the LM accept/reject error term)
+BA_ROW_CHI2 = 55      # raw chi2 (penalty form — for reclassification)
+BA_ROW_DEPTH = 56     # depth_ok flag
+
+
+def _ba_edge_kernel(par_ref, T_ref, xw_ref, obs_ref, invs2_ref, st_ref,
+                    mask_ref, out_ref, *, robust: bool):
+    """Binary-edge BA normal-equation terms, one fused sweep per edge tile
+    (solvers/schur_ba._edge_terms + the five per-edge einsums of _assemble
+    ≡ g2o EdgeSE3ProjectXYZ/EdgeStereoSE3ProjectXYZ linearization,
+    src/Optimizer.cc:646-1067): residuals, pose AND point Jacobians, Huber
+    weights, and all per-edge block products — the XLA chain is ~40 op
+    launches per LM iteration and materializes several (Q,O,6,6)-class HBM
+    tensors.
+
+    par (VMEM, (1,128)): fx fy cx cy bf delta2_mono delta2_stereo.
+    T (VMEM, (12,E)): per-edge camera pose, R row-major (9) then t (3) —
+    gathered by obs camera OUTSIDE the kernel. xw/obs (3,E);
+    invs2/st/mask (1,E).
+    out (VMEM, (64,E)): per-edge weighted products, see BA_ROW_* above.
+    Same hardware pitfalls as _pose_hbe_kernel: params in VMEM not SMEM;
+    invz guarded to 0 behind the camera so Jacobian PRODUCTS stay finite
+    (0-weight * inf = NaN); full-tile stores only."""
+    x = xw_ref[0:1, :]
+    y = xw_ref[1:2, :]
+    z = xw_ref[2:3, :]
+    p = lambda i: par_ref[0, i]
+    r = lambda i: T_ref[i:i + 1, :]
+    pcx = r(0) * x + r(1) * y + r(2) * z + r(9)
+    pcy = r(3) * x + r(4) * y + r(5) * z + r(10)
+    pcz = r(6) * x + r(7) * y + r(8) * z + r(11)
+    fx, fy, cx, cy, bf = p(0), p(1), p(2), p(3), p(4)
+
+    # chi2 in the SAME penalty form as the XLA path (z clamped to 1e-9, so a
+    # step that pushes a point behind a camera scores a huge error and gets
+    # rejected by LM — the guarded-invz chi2 would silently score it small)
+    invz_p = 1.0 / jnp.maximum(pcz, 1e-9)
+    u_p = fx * pcx * invz_p + cx
+    v_p = fy * pcy * invz_p + cy
+    ur_p = u_p - bf * invz_p
+    eu = obs_ref[0:1, :] - u_p
+    ev = obs_ref[1:2, :] - v_p
+    eur = obs_ref[2:3, :] - ur_p
+    st = st_ref[...]
+    inv_s2 = invs2_ref[...]
+    chi2 = inv_s2 * (eu * eu + ev * ev + st * eur * eur)
+    delta2 = p(5) + st * (p(6) - p(5))
+    if robust:
+        w_rob = jnp.where(chi2 <= delta2, 1.0,
+                          jnp.sqrt(delta2 / jnp.maximum(chi2, 1e-12)))
+    else:
+        w_rob = 1.0
+    depth_ok = (pcz > 1e-6).astype(x.dtype)
+    mask = mask_ref[...]
+    w = w_rob * inv_s2 * mask * depth_ok
+
+    # Jacobian path: invz guarded to 0 behind the camera (products finite)
+    invz = jnp.where(pcz > 1e-6, invz_p, 0.0)
+    invz2 = invz * invz
+    a = fx * invz
+    b_ = fy * invz
+    c = -fx * pcx * invz2
+    d = -fy * pcy * invz2
+    cr = c + bf * invz2
+    # pose Jacobians of e = obs - pred wrt xi=(rho,phi), left-mult update
+    Ju = (-a, 0.0, -c, -(c * pcy), -(a * pcz - c * pcx), a * pcy)
+    Jv = (0.0, -b_, -d, -(-b_ * pcz + d * pcy), d * pcx, -b_ * pcx)
+    Jr = (-a, 0.0, -cr, -(cr * pcy), -(a * pcz - cr * pcx), a * pcy)
+    # point Jacobians: Jl = -A @ R  (A rows: (a,0,c), (0,b,d), (a,0,cr))
+    Jlu = tuple(-(a * r(k) + c * r(6 + k)) for k in range(3))
+    Jlv = tuple(-(b_ * r(3 + k) + d * r(6 + k)) for k in range(3))
+    Jlr = tuple(-(a * r(k) + cr * r(6 + k)) for k in range(3))
+
+    zero = jnp.zeros_like(x)
+    asv = lambda t: zero + t
+    wst = w * st
+    wJu = [w * asv(Ju[i]) for i in range(6)]
+    wJv = [w * asv(Jv[i]) for i in range(6)]
+    wJr = [wst * asv(Jr[i]) for i in range(6)]
+    wJlu = [w * Jlu[k] for k in range(3)]
+    wJlv = [w * Jlv[k] for k in range(3)]
+    wJlr = [wst * Jlr[k] for k in range(3)]
+
+    rows = []
+    for i, j in _TRI:               # Hcc upper triangle (21)
+        rows.append(wJu[i] * asv(Ju[j]) + wJv[i] * asv(Jv[j]) +
+                    wJr[i] * asv(Jr[j]))
+    for i in range(6):              # W 6x3 row-major (18)
+        for k in range(3):
+            rows.append(wJu[i] * Jlu[k] + wJv[i] * Jlv[k] +
+                        wJr[i] * Jlr[k])
+    for i, j in _TRI3:              # Hpp upper triangle (6)
+        rows.append(wJlu[i] * Jlu[j] + wJlv[i] * Jlv[j] + wJlr[i] * Jlr[j])
+    for i in range(6):              # bc (6)
+        rows.append(-(wJu[i] * eu + wJv[i] * ev + wJr[i] * eur))
+    for k in range(3):              # bp (3)
+        rows.append(-(wJlu[k] * eu + wJlv[k] * ev + wJlr[k] * eur))
+    rows.append(chi2 * mask)        # err contribution (no depth_ok — XLA par)
+    rows.append(chi2)               # raw chi2 for reclassification
+    rows.append(depth_ok)
+    rows += [zero] * (64 - len(rows))
+    out_ref[...] = jnp.concatenate(rows, axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("robust", "interpret"))
+def ba_edge_terms_pallas(fx, fy, cx, cy, bf, T_edges, Xw_t, obs_t, inv_sigma2,
+                         stereo_f, mask, delta2_mono, delta2_stereo,
+                         robust: bool, interpret: bool = False):
+    """Fused per-edge BA assembly. T_edges: (12,E) per-edge pose rows;
+    Xw_t/obs_t: (3,E); inv_sigma2/stereo_f/mask: (1,E) f32. E must be a
+    lane multiple (pad with mask=0). Returns the (64,E) row matrix — see
+    BA_ROW_* for the layout."""
+    E = Xw_t.shape[1]
+    assert E % 128 == 0, "pad edges to a lane multiple"
+    par = jnp.stack([fx, fy, cx, cy, bf, delta2_mono, delta2_stereo]
+                    ).astype(jnp.float32)
+    par = jnp.pad(par, (0, 128 - par.shape[0]))[None, :]
+    tile = min(BA_TILE_E, E)
+    grid = (E // tile,)
+    espec = lambda rows: pl.BlockSpec((rows, tile), lambda i: (0, i),
+                                      memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_ba_edge_kernel, robust=robust),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            espec(12), espec(3), espec(3), espec(1), espec(1), espec(1),
+        ],
+        out_specs=espec(64),
+        out_shape=jax.ShapeDtypeStruct((64, E), jnp.float32),
+        interpret=interpret,
+    )(par, T_edges, Xw_t, obs_t, inv_sigma2, stereo_f, mask)
+    return out
+
+
 def backend_supports_pallas() -> bool:
     try:
         return jax.default_backend() in ("tpu", "axon")

@@ -602,7 +602,8 @@ def run_global_ba(cfg: SlamConfig, m: mapstate.MapState, mesh=None,
                                   n_iters=n_iters)
     else:
         res = schur_ba.solve_ba(cfg.camera(), prob, cfg.level_sigma2,
-                                iters_a=n_iters, iters_b=0, robust=False)
+                                iters_a=n_iters, iters_b=0, robust=False,
+                                use_pallas=cfg.use_pallas_effective)
     m = m._replace(
         kf_pose=jnp.where((m.kf_valid & ~cam_fixed)[:, None, None],
                           res.poses, m.kf_pose),

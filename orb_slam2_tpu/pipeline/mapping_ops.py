@@ -437,7 +437,7 @@ def _fuse_decide(cfg: SlamConfig, m: mapstate.MapState, cnt, kf_id, pt_ids,
         m.kf_xy[kf_id], m.kf_level[kf_id], m.kf_desc[kf_id],
         m.kf_feat_valid[kf_id], m.kf_ur[kf_id],
         cfg.scale_factors, th=3.0, nn_ratio=1.0,
-        use_pallas=cfg.use_pallas if use_pallas is None else use_pallas)
+        use_pallas=cfg.use_pallas_effective if use_pallas is None else use_pallas)
 
     tgt_pt = m.kf_obs[kf_id][jnp.clip(mm.idx, 0, m.n_feat - 1)]
     src = jnp.clip(pt_ids, 0, m.capacity_pt - 1)
@@ -576,7 +576,8 @@ def local_ba(cfg: SlamConfig, m: mapstate.MapState, kf_id,
         points=m.pt_pos[sel_pt], pt_valid=sel_ok,
         obs_cam=ocam, obs_uvr=obs_uvr, obs_level=lvl)
     res = schur_ba.solve_ba(cam, prob, cfg.level_sigma2,
-                            iters_a=cfg.ba_iters_a, iters_b=cfg.ba_iters_b)
+                            iters_a=cfg.ba_iters_a, iters_b=cfg.ba_iters_b,
+                            use_pallas=cfg.use_pallas_effective)
 
     # write back poses + points
     wb = cam_used & ~cam_fixed

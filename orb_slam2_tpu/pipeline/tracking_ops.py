@@ -117,7 +117,7 @@ def track_local_map(cfg: SlamConfig, m: mapstate.MapState, Tcw,
         uv, pred_level, view_cos, m.pt_desc[local_pt], search_mask, ur_proj,
         cur.xy, cur.level, cur.desc, cur.valid, cur.ur,
         cfg.scale_factors, th=th, nn_ratio=0.8, already_matched=kp_taken,
-        use_pallas=cfg.use_pallas)
+        use_pallas=cfg.use_pallas_effective)
 
     # merge: new matches fill untaken keypoints
     N = cur.xy.shape[0]
@@ -131,7 +131,7 @@ def track_local_map(cfg: SlamConfig, m: mapstate.MapState, Tcw,
     Xw = m.pt_pos[jnp.clip(merged, 0, m.capacity_pt - 1)]
     obs = jnp.concatenate([cur.xy, cur.ur[:, None]], axis=-1)
     res = pose_opt.optimize_pose(cam, Tcw, Xw, obs, cur.level, has,
-                                 cfg.level_sigma2, use_pallas=cfg.use_pallas)
+                                 cfg.level_sigma2, use_pallas=cfg.use_pallas_effective)
     final = jnp.where(res.inliers, merged, INVALID)
 
     # counters: visible = frustum hits; found = final inlier matches
@@ -189,7 +189,7 @@ def reloc_rescue(cfg: SlamConfig, m: mapstate.MapState, kf_id,
     Xw = m.pt_pos[jnp.clip(merged, 0, m.capacity_pt - 1)]
     obs = jnp.concatenate([cur.xy, cur.ur[:, None]], axis=-1)
     res = pose_opt.optimize_pose(cam, Tcw, Xw, obs, cur.level, has,
-                                 cfg.level_sigma2, use_pallas=cfg.use_pallas)
+                                 cfg.level_sigma2, use_pallas=cfg.use_pallas_effective)
     final = jnp.where(res.inliers, merged, INVALID)
     return res.Tcw, final, res.n_inliers
 

@@ -79,7 +79,7 @@ def _motion_model(cfg, cam, T_pred, last, last_pts, last_pts_valid,
         uv, last.level, last.desc, src_valid, last.angle, ur_proj,
         cur.xy, cur.level, cur.desc, cur.valid, cur.angle, cur.ur,
         cfg.scale_factors, th, forward=False, backward=False,
-        check_rotation=check_rotation, use_pallas=cfg.use_pallas)
+        check_rotation=check_rotation, use_pallas=cfg.use_pallas_effective)
     N = cur.xy.shape[0]
     kp_last = jnp.full((N,), INVALID, jnp.int32).at[
         jnp.where(mm.valid, mm.idx, N)
@@ -161,7 +161,7 @@ def _step(cfg: SlamConfig, m: mapstate.MapState, cur: FrameData,
     obs = jnp.concatenate([cur.xy, cur.ur[:, None]], axis=-1)
     res_mm = pose_opt.optimize_pose(cam, T_pred, Xw_mm, obs, cur.level,
                                     has_mm, cfg.level_sigma2,
-                                    use_pallas=cfg.use_pallas)
+                                    use_pallas=cfg.use_pallas_effective)
     mm_ok = (res_mm.n_inliers >= 10) & (n_mm >= 20)
     matched_mm_final = jnp.where(res_mm.inliers & (matched_mm >= 0),
                                  matched_mm, INVALID)
@@ -173,14 +173,14 @@ def _step(cfg: SlamConfig, m: mapstate.MapState, cur: FrameData,
         mm2 = matching.search_by_node(
             jnp.where(cur.valid, 0, -1), cur.desc, cur.valid, cur.angle,
             jnp.where(f_ok2, 0, -1), m.kf_desc[k], f_ok2, m.kf_angle[k],
-            nn_ratio=0.7, use_pallas=cfg.use_pallas)
+            nn_ratio=0.7, use_pallas=cfg.use_pallas_effective)
         tgt = m.kf_obs[k][jnp.clip(mm2.idx, 0, N - 1)]
         matched = jnp.where(mm2.valid & (tgt >= 0), tgt, INVALID)
         has = matched >= 0
         Xw = m.pt_pos[jnp.clip(matched, 0, m.capacity_pt - 1)]
         res = pose_opt.optimize_pose(cam, T_last, Xw, obs, cur.level, has,
                                      cfg.level_sigma2,
-                                     use_pallas=cfg.use_pallas)
+                                     use_pallas=cfg.use_pallas_effective)
         ok = (res.n_inliers >= 10) & (jnp.sum(has.astype(jnp.int32)) >= 15)
         return res.Tcw, jnp.where(res.inliers, matched, INVALID), ok
 

@@ -107,6 +107,11 @@ def optimize_pose(cam: Camera, Tcw0, Xw, obs_uvr, level, valid, level_sigma2,
     comp_stereo = obs_uvr[:, 2] >= 0
     delta2 = jnp.where(comp_stereo, reproj.CHI2_STEREO, reproj.CHI2_MONO)
 
+    # The fused kernel tiles edges along 128 lanes; a non-multiple edge
+    # count falls back to the XLA build. Every engine call site passes the
+    # pow2-padded keypoint capacity (cfg.max_keypoints >= 128), so the
+    # kernel path is never silently lost in practice — external callers
+    # should pad their edge arrays to a 128-multiple to keep it.
     use_pallas = use_pallas and Xw.shape[0] % 128 == 0
     aux = None
     if use_pallas:

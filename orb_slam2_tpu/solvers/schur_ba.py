@@ -93,15 +93,116 @@ def _inv3x3(A):
     return adj * inv_det[..., None, None]
 
 
-def _assemble(cam, prob, poses, points, inv_sigma2, edge_mask, robust):
-    """UNDAMPED normal-equation pieces at the current linearization point:
-    (Hcc (C,6,6), bc (C,6), Hpp (Q,3,3), bp (Q,3), Wd (Q,C,6,3), pt_on,
-    err). Damping + Schur + solve live in `_solve_step` so a rejected LM
-    step can retry with a larger lambda WITHOUT re-running the edge pass
-    (the same carried-linearization trick as pose_opt's _lm_rounds)."""
+class Lin(NamedTuple):
+    """Undamped normal-equation pieces at one linearization point, plus the
+    per-edge chi2/depth classification of that same edge pass (so the
+    reclassification between LM phases costs no extra pass). The
+    pose-point coupling is carried PER EDGE (We) — the dense (Q,C,6,3)
+    form the previous version materialized per linearization is built
+    lazily in `_solve_step` in its Cholesky-factored A-form."""
+    Hcc: jnp.ndarray       # (C,6,6)
+    bc: jnp.ndarray        # (C,6)
+    Hpp: jnp.ndarray       # (Q,3,3)
+    bp: jnp.ndarray        # (Q,3)
+    We: jnp.ndarray        # (Q,O,6,3) per-edge pose-point blocks
+    pt_on: jnp.ndarray     # (Q,)
+    err: jnp.ndarray       # ()
+    chi2: jnp.ndarray      # (Q,O)
+    depth_ok: jnp.ndarray  # (Q,O) bool
+
+
+def _onehot_cam(prob, C):
+    # padded obs (cam -1) match no column; mask gating is NOT folded in —
+    # per-edge contributions already carry the mask through their weights,
+    # and the Pallas path reuses this tensor to reconstruct per-edge poses
+    # (which must stay REAL for masked edges so their chi2 lets outliers
+    # re-enter at reclassification, g2o's computeError-on-level-1 edges)
+    return (prob.obs_cam[:, :, None] ==
+            jnp.arange(C, dtype=jnp.int32)[None, None, :]
+            ).astype(jnp.float32)                          # (Q,O,C)
+
+
+def _assemble_pallas(cam, prob, poses, points, inv_sigma2, edge_mask, robust,
+                     onehot):
+    """Pallas-fused edge pass (ops/pallas_kernels.ba_edge_terms_pallas): the
+    kernel emits every per-edge weighted block product in one sweep; XLA
+    keeps only the MXU-friendly one-hot reductions. All geometry products
+    run f32 on the VPU inside the kernel, so this path is immune to the
+    bf16 matmul truncation the package-wide precision pin guards against."""
+    from ..ops import pallas_kernels as pk
+
     C = poses.shape[0]
     Q, O = prob.obs_cam.shape
-    e, Jp, Jl, comp_w, w, chi2, _ = _edge_terms(
+    E0 = Q * O
+    oh_flat = onehot.reshape(E0, C)
+    # per-edge poses via the one-hot MXU contraction — poses[ci] as a
+    # (Q,O,4,4) gather measured 2.2 ms alone (TPU random gathers serialize,
+    # PERF.md); the matmul form is ~75 MFLOP of systolic work. Padded obs
+    # rows (cam -1) get an all-zero pose row: the kernel's mask zeroes them.
+    T_edges = (oh_flat @ jnp.concatenate(
+        [poses[:, :3, :3].reshape(C, 9), poses[:, :3, 3]], axis=-1))
+    Xw = jnp.broadcast_to(points[:, None, :], (Q, O, 3)).reshape(E0, 3)
+    obs = prob.obs_uvr.reshape(E0, 3)
+    stereo_f = (prob.obs_uvr[..., 2] >= 0).reshape(E0).astype(jnp.float32)
+    invs2 = inv_sigma2.reshape(E0)
+    maskf = edge_mask.reshape(E0)
+    pad = (-E0) % 128
+    if pad:
+        T_edges = jnp.pad(T_edges, ((0, pad), (0, 0)))
+        Xw = jnp.pad(Xw, ((0, pad), (0, 0)))
+        obs = jnp.pad(obs, ((0, pad), (0, 0)))
+        stereo_f = jnp.pad(stereo_f, (0, pad))
+        invs2 = jnp.pad(invs2, (0, pad))
+        maskf = jnp.pad(maskf, (0, pad))
+        oh_flat = jnp.pad(oh_flat, ((0, pad), (0, 0)))
+    out = pk.ba_edge_terms_pallas(
+        cam.fx, cam.fy, cam.cx, cam.cy, cam.bf,
+        T_edges.T, Xw.T, obs.T, invs2[None, :], stereo_f[None, :],
+        maskf[None, :], jnp.float32(reproj.CHI2_MONO),
+        jnp.float32(reproj.CHI2_STEREO), robust=robust)
+
+    edge_on = edge_mask > 0
+    tri6 = pk._tri_index().reshape(-1)                     # (36,) -> 21 rows
+    Hcc = (out[pk.BA_ROW_HCC:pk.BA_ROW_HCC + 21] @ oh_flat
+           ).T[:, tri6].reshape(C, 6, 6)
+    bc = (out[pk.BA_ROW_BC:pk.BA_ROW_BC + 6] @ oh_flat).T  # (C,6)
+    ebody = out[:, :E0]
+    tri3 = _tri3_index().reshape(-1)
+    Hpp = ebody[pk.BA_ROW_HPP:pk.BA_ROW_HPP + 6].reshape(6, Q, O).sum(-1
+           ).T[:, tri3].reshape(Q, 3, 3)
+    bp = ebody[pk.BA_ROW_BP:pk.BA_ROW_BP + 3].reshape(3, Q, O).sum(-1).T
+    We = ebody[pk.BA_ROW_W:pk.BA_ROW_W + 18].reshape(18, Q, O
+           ).transpose(1, 2, 0).reshape(Q, O, 6, 3)
+    err = jnp.sum(ebody[pk.BA_ROW_ERR])
+    chi2 = ebody[pk.BA_ROW_CHI2].reshape(Q, O)
+    depth_ok = ebody[pk.BA_ROW_DEPTH].reshape(Q, O) > 0
+    pt_on = prob.pt_valid & (jnp.sum(edge_on, axis=1) > 0)
+    return Lin(Hcc, bc, Hpp, bp, We, pt_on, err, chi2, depth_ok)
+
+
+@functools.lru_cache(maxsize=None)
+def _tri3_index():
+    import numpy as np
+    tri = [(i, j) for i in range(3) for j in range(i, 3)]
+    idx = np.zeros((3, 3), np.int32)
+    for r, (i, j) in enumerate(tri):
+        idx[i, j] = r
+        idx[j, i] = r
+    return idx
+
+
+def _assemble(cam, prob, poses, points, inv_sigma2, edge_mask, robust,
+              use_pallas=False, onehot=None):
+    """UNDAMPED normal-equation pieces at the current linearization point
+    (see Lin). Damping + Schur + solve live in `_solve_step` so a rejected
+    LM step can retry with a larger lambda WITHOUT re-running the edge pass
+    (the same carried-linearization trick as pose_opt's _lm_rounds)."""
+    if use_pallas:
+        return _assemble_pallas(cam, prob, poses, points, inv_sigma2,
+                                edge_mask, robust, onehot)
+    C = poses.shape[0]
+    Q, O = prob.obs_cam.shape
+    e, Jp, Jl, comp_w, w, chi2, depth_ok = _edge_terms(
         cam, prob, poses, points, inv_sigma2, edge_mask, robust)
 
     cw = comp_w * w[..., None]                          # (Q,O,3)
@@ -119,11 +220,7 @@ def _assemble(cam, prob, poses, points, inv_sigma2, edge_mask, robust):
     # problems the (Q,O)->C reductions run as one-hot CONTRACTIONS on the MXU
     # instead (the one-hot is (Q,O,C) f32 — only viable when that fits);
     # giant GBA problems keep the scatter path.
-    use_onehot = Q * O * C <= (1 << 26)
-    if use_onehot:
-        onehot = ((prob.obs_cam[:, :, None] ==
-                   jnp.arange(C, dtype=jnp.int32)[None, None, :]) &
-                  edge_on[:, :, None]).astype(jnp.float32)   # (Q,O,C)
+    if onehot is not None:
         Hcc = jnp.einsum("qoc,qoij->cij", onehot, Hcc_e)
         bc = jnp.einsum("qoc,qoi->ci", onehot, bc_e)
     else:
@@ -135,46 +232,78 @@ def _assemble(cam, prob, poses, points, inv_sigma2, edge_mask, robust):
     Hpp = jnp.sum(Hpp_e, axis=1)                        # (Q,3,3)
     bp = jnp.sum(bp_e, axis=1)                          # (Q,3)
     pt_on = prob.pt_valid & (jnp.sum(edge_on, axis=1) > 0)
-
-    # dense W layout (Q, C, 6, 3) for the big Schur matmul
-    if use_onehot:
-        Wd = jnp.einsum("qoc,qoij->qcij", onehot, W_e)
-    else:
-        Wd = jnp.zeros((Q, C, 6, 3)).at[
-            jnp.arange(Q)[:, None], jnp.where(edge_on, ci, C)
-        ].add(W_e, mode="drop")
-
+    # zero masked edges' W blocks so the lazy A-form aggregation in
+    # _solve_step needs no mask of its own (cw already carries the mask)
     err = jnp.sum(chi2 * edge_mask)
-    return Hcc, bc, Hpp, bp, Wd, pt_on, err
+    return Lin(Hcc, bc, Hpp, bp, W_e, pt_on, err, chi2, depth_ok)
 
 
-def _solve_step(prob, lin, lam):
-    """Damped Schur solve from an existing linearization. Returns
-    (dx_c (C,6), dx_p (Q,3))."""
-    Hcc, bc, Hpp, bp, Wd, pt_on, _ = lin
-    C = Hcc.shape[0]
-    Hpp_d = Hpp + lam * jnp.eye(3) * jnp.maximum(
-        jnp.diagonal(Hpp, axis1=-2, axis2=-1).max(-1), 1e-6)[:, None, None]
-    Hpp_d = jnp.where(pt_on[:, None, None], Hpp_d, jnp.eye(3))
+def _chol3x3(H):
+    """Closed-form batched lower Cholesky of SPD 3x3 — elementwise VPU work
+    (jnp.linalg.cholesky lowers to the scalar unit at this batch shape)."""
+    eps = 1e-20
+    h11, h12, h13 = H[..., 0, 0], H[..., 0, 1], H[..., 0, 2]
+    h22, h23, h33 = H[..., 1, 1], H[..., 1, 2], H[..., 2, 2]
+    l11 = jnp.sqrt(jnp.maximum(h11, eps))
+    l21 = h12 / l11
+    l31 = h13 / l11
+    l22 = jnp.sqrt(jnp.maximum(h22 - l21 * l21, eps))
+    l32 = (h23 - l31 * l21) / l22
+    l33 = jnp.sqrt(jnp.maximum(h33 - l31 * l31 - l32 * l32, eps))
+    zero = jnp.zeros_like(l11)
+    return jnp.stack([
+        jnp.stack([l11, zero, zero], axis=-1),
+        jnp.stack([l21, l22, zero], axis=-1),
+        jnp.stack([l31, l32, l33], axis=-1),
+    ], axis=-2)
+
+
+def _solve_step(prob, lin, lam, onehot):
+    """Damped Schur solve from an existing linearization, in A-form:
+    with L = chol(Hpp_d^-1) and A_e = W_e L, the aggregated
+    U = sum_o onehot A_e (C6 x Q3) gives S_corr = U U^T in ONE symmetric
+    MXU matmul, b_red = bc - U (L^T bp), and the landmark back-substitution
+    dx_p = L (L^T bp - U^T dx_c) — no dense (Q,C,6,3) W / M tensors, no
+    HBM transposes of them, and one aggregation instead of two (the
+    previous M/W chain measured 3.4 ms/iter at Q=4096,O=12,C=64; PERF.md).
+    Returns (dx_c (C,6), dx_p (Q,3))."""
+    C = lin.Hcc.shape[0]
+    Q, O = lin.chi2.shape
+    Hpp_d = lin.Hpp + lam * jnp.eye(3) * jnp.maximum(
+        jnp.diagonal(lin.Hpp, axis1=-2, axis2=-1).max(-1), 1e-6)[:, None, None]
+    Hpp_d = jnp.where(lin.pt_on[:, None, None], Hpp_d, jnp.eye(3))
     Hpp_inv = _inv3x3(Hpp_d)
+    L = _chol3x3(Hpp_inv)                               # (Q,3,3) lower
 
-    # A = W H^-1/2 would need a factor; use M = W Hpp_inv then S_corr = sum_q
-    # M W^T as one contraction (Q*3 inner axis) — MXU-shaped.
-    Q = Wd.shape[0]
-    M = jnp.einsum("qcij,qjk->qcik", Wd, Hpp_inv)       # (Q,C,6,3)
-    M2 = M.transpose(1, 2, 0, 3).reshape(C * 6, Q * 3)
-    W2 = Wd.transpose(1, 2, 0, 3).reshape(C * 6, Q * 3)
-    S_corr = M2 @ W2.T                                   # (6C, 6C)
+    # A_e = W_e @ L_q, unrolled over the 3-dim contraction so XLA fuses it
+    # elementwise (a (Q*O)-batched (6,3)@(3,3) einsum runs as tiny serial
+    # MXU ops)
+    We = lin.We                                         # (Q,O,6,3)
+    A_e = (We[..., 0:1] * L[:, None, None, 0, :] +
+           We[..., 1:2] * L[:, None, None, 1, :] +
+           We[..., 2:3] * L[:, None, None, 2, :])       # (Q,O,6,3)
+    if onehot is not None:
+        U = jnp.einsum("qoc,qoil->ciql", onehot, A_e)
+    else:
+        # masked edges already carry zero A_e rows (cw had the mask), and
+        # padded obs (cam -1) clip to slot 0 adding zeros — no extra mask
+        ci = jnp.clip(prob.obs_cam, 0, C - 1)
+        Uq = jnp.zeros((Q, C, 6, 3)).at[
+            jnp.arange(Q)[:, None], ci].add(A_e, mode="drop")
+        U = Uq.transpose(1, 2, 0, 3)
+    U2 = U.reshape(C * 6, Q * 3)
+    S_corr = U2 @ U2.T                                  # (6C,6C), symmetric
 
     # assemble block-diagonal H_cc into dense, with LM damping
-    Hcc_d = Hcc + lam * jnp.eye(6) * jnp.maximum(
-        jnp.diagonal(Hcc, axis1=-2, axis2=-1).max(-1), 1e-6)[:, None, None]
+    Hcc_d = lin.Hcc + lam * jnp.eye(6) * jnp.maximum(
+        jnp.diagonal(lin.Hcc, axis1=-2, axis2=-1).max(-1), 1e-6)[:, None, None]
     Hcc_dense = jnp.zeros((C * 6, C * 6))
     idx = jnp.arange(C * 6).reshape(C, 6)
     Hcc_dense = Hcc_dense.at[idx[:, :, None], idx[:, None, :]].set(Hcc_d)
     S = Hcc_dense - S_corr
 
-    b_red = (bc - jnp.einsum("qcik,qk->ci", M, bp)).reshape(C * 6)
+    y = jnp.einsum("qkl,qk->ql", L, lin.bp)             # L^T bp
+    b_red = lin.bc.reshape(C * 6) - U2 @ y.reshape(Q * 3)
 
     # mask fixed/unused cameras: identity rows/cols, zero rhs
     free = (prob.cam_valid & ~prob.cam_fixed)
@@ -183,36 +312,40 @@ def _solve_step(prob, lin, lam):
     S = S + jnp.where(free6, 0.0, 1.0) * jnp.eye(C * 6)
     b_red = jnp.where(free6, b_red, 0.0)
 
-    dx_c = jax.scipy.linalg.cho_solve(
-        jax.scipy.linalg.cho_factor(S + 1e-8 * jnp.eye(C * 6), lower=True), b_red
-    ).reshape(C, 6)
-    dx_c = jnp.where(free[:, None], dx_c, 0.0)
+    dx_flat = jax.scipy.linalg.cho_solve(
+        jax.scipy.linalg.cho_factor(S + 1e-8 * jnp.eye(C * 6), lower=True),
+        b_red)
+    dx_c = jnp.where(free[:, None], dx_flat.reshape(C, 6), 0.0)
 
-    # back-substitute landmarks: dx_p = Hpp^-1 (bp - W^T dx_c summed over obs)
-    Wt_dx = jnp.einsum("qcij,ci->qj", Wd, dx_c)          # (Q,3)
-    dx_p = jnp.einsum("qij,qj->qi", Hpp_inv, bp - Wt_dx)
-    dx_p = jnp.where(pt_on[:, None], dx_p, 0.0)
+    # back-substitute landmarks: dx_p = L (L^T bp - L^T W^T dx_c)
+    z = (U2.T @ jnp.where(free6, dx_flat, 0.0)).reshape(Q, 3)
+    dx_p = jnp.einsum("qil,ql->qi", L, y - z)
+    dx_p = jnp.where(lin.pt_on[:, None], dx_p, 0.0)
     return dx_c, dx_p
 
 
 def _lm_iterations(cam, prob, poses, points, inv_sigma2, edge_mask, robust,
-                   n_iters):
+                   n_iters, use_pallas=False):
     """ONE edge pass per iteration: the assembly at the tentatively-stepped
     state provides BOTH the accept/reject error and (if accepted) the next
     step's linearization; a rejected step reuses the carried linearization
-    with a larger lambda. The previous version paid a second full edge
-    pass per iteration (_total_chi2) just for the accept decision — ~40%
-    of the local-BA device time at Q=4096/O=12."""
+    with a larger lambda. Returns (poses, points, lin) — lin is always the
+    linearization AT the returned state, so its chi2/depth_ok double as the
+    between-phase reclassification (no extra edge pass)."""
+    C = prob.poses.shape[0]
+    Q, O = prob.obs_cam.shape
+    # loop-invariant: the camera-incidence one-hot depends only on the
+    # problem wiring, built once per phase (XLA CSEs it across phases)
+    onehot = None if Q * O * C > (1 << 26) else _onehot_cam(prob, C)
+
     def body(_, carry):
         poses, points, lam, lin = carry
-        dx_c, dx_p = _solve_step(prob, lin, lam)
+        dx_c, dx_p = _solve_step(prob, lin, lam, onehot)
         poses_new = se3.retract(poses, dx_c)
         points_new = points + dx_p
         lin_new = _assemble(cam, prob, poses_new, points_new, inv_sigma2,
-                            edge_mask, robust)
-        err = lin[-1]
-        err_new = lin_new[-1]
-        accept = err_new < err
+                            edge_mask, robust, use_pallas, onehot)
+        accept = lin_new.err < lin.err
         poses = jnp.where(accept, poses_new, poses)
         points = jnp.where(accept, points_new, points)
         lin = jax.tree.map(
@@ -221,39 +354,49 @@ def _lm_iterations(cam, prob, poses, points, inv_sigma2, edge_mask, robust,
                         jnp.minimum(lam * 5.0, 1e4))
         return poses, points, lam, lin
 
-    lin0 = _assemble(cam, prob, poses, points, inv_sigma2, edge_mask, robust)
-    poses, points, _, _ = jax.lax.fori_loop(
+    lin0 = _assemble(cam, prob, poses, points, inv_sigma2, edge_mask, robust,
+                     use_pallas, onehot)
+    poses, points, _, lin = jax.lax.fori_loop(
         0, n_iters, body, (poses, points, jnp.float32(1e-4), lin0))
-    return poses, points
+    return poses, points, lin
 
 
-@functools.partial(jax.jit, static_argnames=("iters_a", "iters_b", "robust"))
+@functools.partial(jax.jit, static_argnames=("iters_a", "iters_b", "robust",
+                                             "use_pallas"))
 def solve_ba(cam: Camera, prob: BAProblem, level_sigma2,
-             iters_a: int = 5, iters_b: int = 10, robust: bool = True) -> BAResult:
+             iters_a: int = 5, iters_b: int = 10, robust: bool = True,
+             use_pallas: bool = False) -> BAResult:
     """The reference LocalBA schedule (`src/Optimizer.cc:880-1010`): iters_a
     robust iterations, chi2 reclassification (5.991/7.815 + positive depth),
-    iters_b more, final classification returned for observation erasure."""
+    iters_b more, final classification returned for observation erasure.
+
+    use_pallas: fuse the per-edge assembly into the TPU kernel
+    (ops/pallas_kernels.ba_edge_terms_pallas); falls back to XLA when the
+    problem is too large for the one-hot aggregation."""
+    C = prob.poses.shape[0]
+    Q, O = prob.obs_cam.shape
+    use_pallas = use_pallas and Q * O * C <= (1 << 26)
     sigma2 = jnp.asarray(level_sigma2, jnp.float32)
     inv_sigma2 = 1.0 / sigma2[jnp.clip(prob.obs_level, 0, sigma2.shape[0] - 1)]
     base_mask = (prob.obs_cam >= 0) & prob.pt_valid[:, None] & \
-        prob.cam_valid[jnp.clip(prob.obs_cam, 0, prob.poses.shape[0] - 1)]
+        prob.cam_valid[jnp.clip(prob.obs_cam, 0, C - 1)]
     stereo = prob.obs_uvr[..., 2] >= 0
     delta2 = jnp.where(stereo, reproj.CHI2_STEREO, reproj.CHI2_MONO)
 
     poses, points = prob.poses, prob.points
     mask = base_mask
-    poses, points = _lm_iterations(
-        cam, prob, poses, points, inv_sigma2, mask.astype(jnp.float32), robust, iters_a)
+    poses, points, lin = _lm_iterations(
+        cam, prob, poses, points, inv_sigma2, mask.astype(jnp.float32),
+        robust, iters_a, use_pallas)
 
-    e, _, _, comp_w, _, chi2, depth_ok = _edge_terms(
-        cam, prob, poses, points, inv_sigma2, mask.astype(jnp.float32), robust)
-    mask = base_mask & (chi2 <= delta2) & depth_ok
+    # reclassification from the carried linearization (chi2 is at the
+    # current state and mask-independent — no extra edge pass)
+    mask = base_mask & (lin.chi2 <= delta2) & lin.depth_ok
 
-    poses, points = _lm_iterations(
-        cam, prob, poses, points, inv_sigma2, mask.astype(jnp.float32), robust, iters_b)
+    poses, points, lin = _lm_iterations(
+        cam, prob, poses, points, inv_sigma2, mask.astype(jnp.float32),
+        robust, iters_b, use_pallas)
 
-    e, _, _, comp_w, _, chi2, depth_ok = _edge_terms(
-        cam, prob, poses, points, inv_sigma2,
-        base_mask.astype(jnp.float32), robust)
-    inlier = base_mask & (chi2 <= delta2) & depth_ok
-    return BAResult(poses=poses, points=points, edge_inlier=inlier, chi2=chi2)
+    inlier = base_mask & (lin.chi2 <= delta2) & lin.depth_ok
+    return BAResult(poses=poses, points=points, edge_inlier=inlier,
+                    chi2=lin.chi2)

@@ -61,7 +61,7 @@ def main():
 
     from orb_slam2_tpu.solvers import schur_ba
     from orb_slam2_tpu.geometry.camera import Camera
-    cam = Camera(fx=500., fy=500., cx=320., cy=240., bf=120.)
+    cam = Camera.make(500., 500., 320., 240., bf=120.)
     prob = schur_ba.BAProblem(
         poses=jnp.eye(4)[None].repeat(C, 0),
         cam_valid=jnp.ones(C, bool), cam_fixed=jnp.zeros(C, bool).at[0].set(True),
@@ -72,15 +72,20 @@ def main():
                                             -np.ones((Q, O, 1))], -1).astype(np.float32)),
         obs_level=jnp.zeros((Q, O), jnp.int32))
     sigma2 = [1.2 ** (2 * i) for i in range(8)]
-    for it in [(1, 0), (5, 0), (5, 10)]:
-        t0 = time.time()
-        r = schur_ba.solve_ba(cam, prob, sigma2, iters_a=it[0], iters_b=it[1])
-        _ = jax.device_get(r.poses)
-        t1 = time.time()
-        r = schur_ba.solve_ba(cam, prob, sigma2, iters_a=it[0], iters_b=it[1])
-        _ = jax.device_get(r.poses)
-        print(f"solve_ba iters={it}: {(time.time()-t1)*1e3:.1f} ms "
-              f"(first {t1-t0:.1f}s w/ compile)", flush=True)
+    for up in (False, True):
+        for it in [(1, 0), (5, 0), (5, 10)]:
+            t0 = time.time()
+            r = schur_ba.solve_ba(cam, prob, sigma2, iters_a=it[0],
+                                  iters_b=it[1], use_pallas=up)
+            _ = jax.device_get(r.poses)
+            t1 = time.time()
+            for _k in range(3):
+                r = schur_ba.solve_ba(cam, prob, sigma2, iters_a=it[0],
+                                      iters_b=it[1], use_pallas=up)
+            _ = jax.device_get(r.poses)
+            print(f"solve_ba iters={it} pallas={up}: "
+                  f"{(time.time()-t1)/3*1e3:.1f} ms "
+                  f"(first {t1-t0:.1f}s w/ compile)", flush=True)
     print("done", flush=True)
 
 

@@ -166,3 +166,77 @@ class TestPoseNormalEqs:
             np.testing.assert_allclose(np.asarray(b0), np.asarray(b1),
                                        rtol=3e-4, atol=2e-2)
             np.testing.assert_allclose(float(e0), float(e1), rtol=3e-4)
+
+
+class TestBAEdgeTerms:
+    """ba_edge_terms_pallas-based assembly (interpret mode) vs the XLA
+    _assemble, and full solve_ba equivalence through the kernel path."""
+
+    def _lin_pair(self, rng, robust):
+        import jax.numpy as jnp
+        import sys, os
+        sys.path.insert(0, os.path.dirname(__file__))
+        from test_schur_ba import make_ba_scene, LEVEL_SIGMA2
+        from orb_slam2_tpu.solvers import schur_ba
+
+        cam, prob, *_ = make_ba_scene(rng, noise=0.5, perturb=0.05)
+        # push some points behind cameras to exercise the invz guard
+        pts = np.asarray(prob.points).copy()
+        pts[:4, 2] = -2.0
+        prob = prob._replace(points=jnp.asarray(pts))
+        sigma2 = jnp.asarray(LEVEL_SIGMA2, jnp.float32)
+        inv_s2 = 1.0 / sigma2[jnp.clip(prob.obs_level, 0, 7)]
+        base = (prob.obs_cam >= 0) & prob.pt_valid[:, None]
+        maskf = base.astype(jnp.float32)
+        C = prob.poses.shape[0]
+        onehot = schur_ba._onehot_cam(prob, C)
+        ref = schur_ba._assemble(cam, prob, prob.poses, prob.points,
+                                 inv_s2, maskf, robust, False, onehot)
+        got = schur_ba._assemble_pallas(cam, prob, prob.poses, prob.points,
+                                        inv_s2, maskf, robust, onehot)
+        return ref, got, np.asarray(base)
+
+    def test_assembly_matches_xla(self, rng, monkeypatch):
+        import orb_slam2_tpu.ops.pallas_kernels as pk
+        orig = pk.ba_edge_terms_pallas
+        monkeypatch.setattr(pk, "ba_edge_terms_pallas",
+                            lambda *a, **k: orig(*a, interpret=True, **k))
+        for robust in (True, False):
+            ref, got, base = self._lin_pair(rng, robust)
+            for name in ("Hcc", "bc", "Hpp", "bp", "We", "err"):
+                np.testing.assert_allclose(
+                    np.asarray(getattr(ref, name)),
+                    np.asarray(getattr(got, name)),
+                    rtol=3e-4, atol=2e-2, err_msg=name)
+            np.testing.assert_array_equal(np.asarray(ref.pt_on),
+                                          np.asarray(got.pt_on))
+            # per-edge classifications compared on REAL edges only: masked/
+            # padded edges see a zero pose in the kernel (one-hot row is all
+            # zero) vs camera 0's pose in XLA (clipped index) — every
+            # consumer ANDs these with base_mask
+            np.testing.assert_array_equal(np.asarray(ref.depth_ok)[base],
+                                          np.asarray(got.depth_ok)[base])
+            ok = np.asarray(ref.depth_ok) & base
+            np.testing.assert_allclose(np.asarray(ref.chi2)[ok],
+                                       np.asarray(got.chi2)[ok],
+                                       rtol=1e-3, atol=1e-2)
+
+    def test_solve_ba_through_kernel(self, rng, monkeypatch):
+        import sys, os
+        sys.path.insert(0, os.path.dirname(__file__))
+        from test_schur_ba import make_ba_scene, LEVEL_SIGMA2
+        from orb_slam2_tpu.solvers import schur_ba
+        from orb_slam2_tpu.geometry import se3
+        import orb_slam2_tpu.ops.pallas_kernels as pk
+        import jax.numpy as jnp
+
+        orig = pk.ba_edge_terms_pallas
+        monkeypatch.setattr(pk, "ba_edge_terms_pallas",
+                            lambda *a, **k: orig(*a, interpret=True, **k))
+        cam, prob, poses_true, X_true, nc, npts = make_ba_scene(rng)
+        res = schur_ba.solve_ba(cam, prob, LEVEL_SIGMA2, use_pallas=True)
+        for c in range(nc):
+            np.testing.assert_allclose(np.asarray(res.poses)[c],
+                                       poses_true[c], atol=2e-3)
+        err = np.linalg.norm(np.asarray(res.points)[:npts] - X_true, axis=-1)
+        assert np.median(err) < 5e-3, np.median(err)
