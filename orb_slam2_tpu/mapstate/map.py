@@ -280,13 +280,96 @@ def add_points(m: MapState, slots, pos, desc, ref_kf, first_kf):
         pt_first_kf=upd(m.pt_first_kf, jnp.broadcast_to(first_kf, slots.shape)),
         pt_visible=m.pt_visible.at[si].set(1, mode="drop"),
         pt_found=m.pt_found.at[si].set(1, mode="drop"),
-        # a reallocated slot is a fresh point: clear any old redirect and
-        # any stale cached observation count
+        # a reallocated slot is a fresh point: clear any old redirect, any
+        # stale cached observation count AND the stale cached table row (the
+        # incremental table discipline — round 5 — no longer rebuilds the
+        # table after point creation, so stale rows must die here)
         pt_forward=m.pt_forward.at[si].set(
             jnp.where(ok, slots, 0), mode="drop"),
         pt_obs_cnt=m.pt_obs_cnt.at[si].set(0, mode="drop"),
+        obs_kf=m.obs_kf.at[si].set(INVALID, mode="drop"),
+        obs_ft=m.obs_ft.at[si].set(INVALID, mode="drop"),
         next_pt=m.next_pt + jnp.sum(ok.astype(jnp.int32)),
     )
+
+
+def table_append_keyframe(m: MapState, kf_id) -> MapState:
+    """Patch the cached observation table with keyframe kf_id's bindings:
+    each point bound in kf_obs[kf_id] gains the entry (kf_id, feat) at the
+    first free slot of its row (rows are left-packed; full rows drop the
+    entry, the same truncation point_observations applies). One (N,)-entry
+    scatter instead of the full table rebuild the keyframe event used to
+    pay (~31 ms at K=128/P=16k through the chunked builder, PERF.md r5).
+
+    Caller contract: kf_id's bindings are NOT yet in the table (fresh
+    keyframe slot, or a slot whose previous occupant was culled — culling
+    rebuilds the table)."""
+    P = m.capacity_pt
+    row = m.kf_obs[kf_id]                                  # (N,)
+    on = row >= 0
+    pt = jnp.clip(row, 0, P - 1)
+    pos = jnp.sum((m.obs_kf[pt] >= 0).astype(jnp.int32), axis=1)   # (N,)
+    keep = on & (pos < OBS_W)
+    ridx = jnp.where(keep, pt, P)
+    cidx = jnp.where(keep, pos, 0)
+    return m._replace(
+        obs_kf=m.obs_kf.at[ridx, cidx].set(
+            jnp.asarray(kf_id, jnp.int32), mode="drop"),
+        obs_ft=m.obs_ft.at[ridx, cidx].set(
+            jnp.arange(row.shape[0], dtype=jnp.int32), mode="drop"),
+    )
+
+
+def table_revalidate_points(m: MapState, pt_mask, max_pts: int = 512
+                            ) -> MapState:
+    """Re-derive the cached table rows of the points in pt_mask (P,) from
+    kf_obs (the ground truth): entries whose keyframe no longer binds the
+    point are dropped and the row is re-left-packed. Serves the BA outlier
+    erasure (a handful of (kf, feat) slots reset to -1 after the solve) at
+    the cost of one small gather instead of the full table rebuild; any
+    staleness in a flagged row heals, including duplicate erasures on one
+    row. Falls back to the full rebuild under a lax.cond when more than
+    max_pts points are flagged."""
+    P = m.capacity_pt
+    K = m.capacity_kf
+    n = jnp.sum(pt_mask.astype(jnp.int32))
+    sel, ok = compact_mask(pt_mask, max_pts)
+    p = jnp.clip(sel, 0, P - 1)
+
+    def fast(m):
+        rows_kf = m.obs_kf[p]                              # (B,W)
+        rows_ft = m.obs_ft[p]
+        on = rows_kf >= 0
+        back = m.kf_obs[jnp.clip(rows_kf, 0, K - 1),
+                        jnp.clip(rows_ft, 0, m.n_feat - 1)]
+        keep = on & (back == p[:, None])
+        # cached weighted counts DECREMENT by the dropped entries' weights
+        # (not recomputed from the surviving row: a truncated/dangling-dup
+        # row undercounts the point's true observation count, and the
+        # running counter still carries those — mono culling starves on
+        # undercounts, r3 notes)
+        dropped = on & ~keep
+        wdrop = jnp.where(m.kf_ur[jnp.clip(rows_kf, 0, K - 1),
+                                  jnp.clip(rows_ft, 0, m.n_feat - 1)] >= 0,
+                          2, 1)
+        dec = jnp.sum(jnp.where(dropped, wdrop, 0), axis=1).astype(jnp.int32)
+        rows_kf = jnp.where(keep, rows_kf, INVALID)
+        rows_ft = jnp.where(keep, rows_ft, INVALID)
+        # left-pack the touched rows (valid-first stable order over W)
+        order = jnp.argsort(rows_kf < 0, axis=1, stable=True)
+        rows_kf = jnp.take_along_axis(rows_kf, order, axis=1)
+        rows_ft = jnp.take_along_axis(rows_ft, order, axis=1)
+        pi = jnp.where(ok, p, P)
+        cnt = jnp.maximum(m.pt_obs_cnt[p] - dec, 0)
+        return m._replace(
+            obs_kf=m.obs_kf.at[pi].set(rows_kf, mode="drop"),
+            obs_ft=m.obs_ft.at[pi].set(rows_ft, mode="drop"),
+            pt_obs_cnt=m.pt_obs_cnt.at[pi].set(cnt, mode="drop"))
+
+    def slow(m):
+        return refresh_obs_table(m)
+
+    return jax.lax.cond(n > max_pts, slow, fast, m)
 
 
 def bind_observations(m: MapState, kf_id, feat_idx, point_ids, mask):

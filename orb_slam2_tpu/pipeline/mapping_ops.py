@@ -97,6 +97,9 @@ def insert_keyframe(cfg: SlamConfig, m: mapstate.MapState, cur: FrameData,
     bound = m.kf_obs[kf_id]
     w = jnp.where(m.kf_ur[kf_id] >= 0, 2, 1)
     m = _bump_counts(m, jnp.clip(bound, 0, m.capacity_pt - 1), bound >= 0, w)
+    # ...and the cached table itself (incremental discipline: the mapping
+    # pass no longer pays a full rebuild to absorb insertion binds)
+    m = mapstate.table_append_keyframe(m, kf_id)
     if update_stats:
         # standalone use (initialization): refresh point stats + the cached
         # observation table now. Inside keyframe_pass this is skipped — the
@@ -320,6 +323,17 @@ def _commit_new_points(cfg: SlamConfig, m: mapstate.MapState, kf1,
     w = jnp.where(m.kf_ur[kf1] >= 0, 2, 1) + \
         jnp.where(m.kf_ur[jnp.clip(nb_ids, 0, K - 1), i2] >= 0, 2, 1)
     m = _bump_counts(m, jnp.clip(slots, 0, m.capacity_pt - 1), okc, w)
+    # cached-table rows of the new points: exactly the two creating
+    # observations (rows were blanked by add_points; incremental discipline)
+    sic = jnp.where(okc, slots, m.capacity_pt)
+    kf1b = jnp.broadcast_to(jnp.asarray(kf1, jnp.int32), slots.shape)
+    m = m._replace(
+        obs_kf=m.obs_kf.at[sic, 0].set(kf1b, mode="drop")
+                       .at[sic, 1].set(jnp.clip(nb_ids, 0, K - 1),
+                                       mode="drop"),
+        obs_ft=m.obs_ft.at[sic, 0].set(
+            jnp.arange(N, dtype=jnp.int32), mode="drop")
+                       .at[sic, 1].set(i2, mode="drop"))
 
     # normal + scale band in closed form — both observations are known right
     # here, so the full point-major observation rebuild is unnecessary
@@ -586,11 +600,16 @@ def local_ba(cfg: SlamConfig, m: mapstate.MapState, kf_id,
         pt_pos=m.pt_pos.at[jnp.where(sel_ok, sel_pt, m.capacity_pt)].set(
             res.points, mode="drop"),
     )
-    # erase outlier observations
+    # erase outlier observations, then revalidate the affected points'
+    # cached table rows in place (the pass-exit full rebuild is gone)
     outlier = (ocam >= 0) & ~res.edge_inlier
     m = m._replace(kf_obs=m.kf_obs.at[
         jnp.where(outlier, kfc, K), jnp.where(outlier, ftc, 0)
     ].set(INVALID, mode="drop"))
+    aff = jnp.zeros((m.capacity_pt,), bool).at[
+        jnp.where(jnp.any(outlier, axis=1), sel_pt, m.capacity_pt)
+    ].set(True, mode="drop")
+    m = mapstate.table_revalidate_points(m, aff)
     return m
 
 
@@ -644,9 +663,9 @@ def mapping_pass(cfg: SlamConfig, m: mapstate.MapState, kf_id):
     nn = 20 if cfg.sensor == SENSOR_MONOCULAR else 10
     ids, _ = mapstate.covisible_keyframes(m, kf_id, nn)
     m, _ = triangulate_batch(cfg, m, kf_id, ids)
-    # bring the table current (insert + triangulation binds) — fusion's
-    # replacement bookkeeping reads/patches it
-    m = mapstate.refresh_obs_table(m)
+    # no table rebuild here (round 5): insertion appends its bindings and
+    # triangulation writes its two observations per new point directly, so
+    # fusion's replacement bookkeeping reads a current table already
 
     # fuse with the two-level neighbor set, both directions
     # (SearchInNeighbors: current points -> each target KF, then the union
@@ -735,15 +754,19 @@ def mapping_pass(cfg: SlamConfig, m: mapstate.MapState, kf_id):
                      obs=obs)
         # culling reuses the pre-BA table: BA's outlier erasures are a
         # handful of observations — redundancy counts tolerate it
-        return cull_keyframes(cfg, m, kf_id, obs=obs)
+        m, culled = cull_keyframes(cfg, m, kf_id, obs=obs)
+        # a fired cull orphans every table entry naming the culled keyframe
+        # (and frees its slot for reuse): full rebuild, paid only when it
+        # actually happens. With no cull, local_ba's in-place revalidation
+        # already left the table clean — the pass-exit invariant holds
+        # without the unconditional ~31 ms rebuild (PERF.md r5).
+        m = jax.lax.cond(jnp.any(culled), mapstate.refresh_obs_table,
+                         lambda m: m, m)
+        return m, culled
 
     m, culled = jax.lax.cond(
         m.n_keyframes > 2, ba_and_cull,
         lambda m: (m, jnp.zeros((m.capacity_kf,), bool)), m)
-    # exit rebuild: the table leaves every pass clean (BA outlier erasures +
-    # keyframe culling applied), so the per-frame consumers and the next
-    # pass's erase/replace fast paths can trust it
-    m = mapstate.refresh_obs_table(m)
     return m, culled
 
 
@@ -799,6 +822,14 @@ def cull_keyframes(cfg: SlamConfig, m: mapstate.MapState, kf_id,
     ftc = jnp.clip(obs_ft, 0, m.n_feat - 1)
     levels = jnp.where(obs_on, m.kf_level[kfc, ftc], 1 << 10)   # (P,O)
     cnt = mapstate.obs_table_counts(m, (obs_kf, obs_ft, obs_on))
+    # per-point cumulative level histogram: cnt_le[p, l] = observations at
+    # octave <= l. The per-candidate redundancy check below then gathers ONE
+    # scalar per (candidate, feature) instead of the full (N, O) obs rows —
+    # the vmapped row gathers were ~25 ms/pass at 32 candidates (PERF.md r5)
+    n_lv = len(cfg.scale_factors)
+    cnt_le = jnp.stack(
+        [jnp.sum((levels <= l).astype(jnp.int32), axis=1)
+         for l in range(n_lv)], axis=1)                          # (P,L)
 
     first_fid = jnp.min(jnp.where(m.kf_valid, m.kf_frame_id, 1 << 30))
     candidates = (m.covis[kf_id] > 0) & m.kf_valid & (m.kf_frame_id > first_fid)
@@ -815,11 +846,14 @@ def cull_keyframes(cfg: SlamConfig, m: mapstate.MapState, kf_id,
         pt = jnp.clip(row, 0, m.capacity_pt - 1)
         mine = (row >= 0) & (cnt[pt] >= 3)
         my_level = m.kf_level[k]
-        # observations of these points by other KFs at level <= mine+1
-        o_lv = levels[pt]                                # (N,O)
-        o_kf = obs_kf[pt]
-        others = obs_on[pt] & (o_kf != k) & (o_lv <= (my_level[:, None] + 1))
-        n_others = jnp.sum(others.astype(jnp.int32), axis=1)
+        # observations of these points by other KFs at level <= mine+1:
+        # the cumulative histogram includes this KF's own observation
+        # (always <= my_level+1), so subtract 1. A point whose own entry
+        # was truncated out of the table loses one count here — strictly
+        # conservative (less culling), and only possible above max_obs
+        # observations where the point is redundant regardless.
+        lv1 = jnp.clip(my_level + 1, 0, n_lv - 1)
+        n_others = cnt_le[pt, lv1] - 1
         redundant = mine & (n_others >= 3)
         nm = jnp.sum(mine.astype(jnp.int32))
         return jnp.sum(redundant.astype(jnp.int32)), nm

@@ -520,7 +520,12 @@ class SlamSystem:
         self._record(timestamp, T_rel, self.ref_kf, False)
         entry = dict(frame=self.frame_id, state="OK",
                      inliers=n_local_inl, kf=bool(need_kf),
-                     n_kf=self._nkf_cache() if need_kf else None)
+                     n_kf=self._nkf_cache() if need_kf else None,
+                     # stage counters for failure forensics (EVAL metrics):
+                     # motion-model matches / its pose inliers / reference-
+                     # KF-tracked matches in the ref keyframe / fallback?
+                     n_mm=int(sc[1]), mm_inl=int(sc[2]),
+                     ref_matches=int(sc[4]), fallback=bool(sc[7]))
         if need_kf:
             entry["stage_ms"] = self.stage_ms
         self.metrics.append(entry)

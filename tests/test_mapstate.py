@@ -246,3 +246,84 @@ class TestMapState:
         nrm = np.asarray(m.pt_normal[s[0]])
         assert nrm[2] > 0.9
         assert float(m.pt_max_dist[s[0]]) > 0
+
+
+class TestIncrementalTable:
+    """The cached observation table is maintained IN PLACE through the
+    keyframe event (insert appends, triangulation writes its two creating
+    observations, BA revalidates erased rows, culling triggers the full
+    rebuild) — round 5 removed the per-pass full rebuilds. The invariant:
+    at pass exit the table rows equal a fresh point_observations build as
+    SETS (left-packed, order-free), wherever the point has <= OBS_W
+    observations."""
+
+    def test_table_matches_rebuild_after_passes(self):
+        import jax
+        from orb_slam2_tpu.utils.config import SlamConfig, SENSOR_RGBD
+        from orb_slam2_tpu.utils.synthetic import (PlateWorld,
+                                                   loop_trajectory)
+        from orb_slam2_tpu.pipeline.system import SlamSystem
+
+        fx = 260.0
+        cfg = SlamConfig(fx=fx, fy=fx, cx=160.0, cy=120.0, width=320,
+                         height=240, n_features=500, bf=fx * 0.25,
+                         sensor=SENSOR_RGBD, fps=10.0, th_depth=40.0,
+                         max_keyframes=64, max_map_points=1 << 14,
+                         ba_local_cams=16, ba_fixed_cams=16,
+                         ba_max_points=1 << 11, ba_max_obs=8,
+                         max_local_keyframes=32, max_local_points=1 << 12)
+        world = PlateWorld(fx, fx, 160.0, 120.0, 320, 240, z0=5.0)
+        gt = loop_trajectory(40, radius=1.4)
+        s = SlamSystem(cfg, enable_loop_closing=False)
+        for i, T in enumerate(gt):
+            img, d = world.render_with_depth(T)
+            s.track_rgbd(img, d, i / cfg.fps)
+        s.flush()
+        m = s.m
+        assert int(m.n_keyframes) >= 3
+
+        ref_kf, ref_ft, ref_on = mapstate.point_observations(
+            m, mapstate.OBS_W)
+        got_kf = np.asarray(m.obs_kf)
+        got_ft = np.asarray(m.obs_ft)
+        ref_kf = np.asarray(ref_kf)
+        ref_ft = np.asarray(ref_ft)
+        kf_obs = np.asarray(m.kf_obs)
+        valid_pts = np.nonzero(np.asarray(m.pt_valid))[0]
+
+        # 1. no phantom entries: every table entry is backed by kf_obs
+        for p in valid_pts:
+            for k, f in zip(got_kf[p], got_ft[p]):
+                if k >= 0:
+                    assert kf_obs[k, f] == p, (p, k, f, kf_obs[k, f])
+
+        # 2. left-packed: no valid entry right of an invalid one
+        holes = (got_kf[:, 1:] >= 0) & (got_kf[:, :-1] < 0)
+        assert not holes.any()
+
+        # 3. the table tracks the rebuild closely. Divergence is allowed
+        # ONLY in the direction the reference itself diverges: a KF can
+        # transiently bind one point at two features (Replace + dangling
+        # mvpMapPoints); after a BA erasure of the REGISTERED entry the
+        # table — like the reference's observation map — does not
+        # resurrect the dangling twin, while a fresh rebuild would. So:
+        # no extra entries ever (checked in 1), and missing entries stay
+        # a small minority of rows.
+        n_mismatch = 0
+        for p in valid_pts:
+            ref_set = {(int(k), int(f))
+                       for k, f in zip(ref_kf[p], ref_ft[p]) if k >= 0}
+            got_set = {(int(k), int(f))
+                       for k, f in zip(got_kf[p], got_ft[p]) if k >= 0}
+            if len(ref_set) >= mapstate.OBS_W:
+                continue
+            if ref_set != got_set:
+                assert got_set <= ref_set, (p, got_set - ref_set)
+                n_mismatch += 1
+        # ~10% of rows carry such an unregistered duplicate in practice
+        # (the fusion redirect can re-bind a winner at a second feature of
+        # a row, exactly like the reference's Replace when IsInKeyFrame is
+        # stale); kf_obs stays authoritative for the consumers that care
+        # (incidence counts, triangulation occupancy, matchers)
+        assert n_mismatch <= 0.15 * len(valid_pts), \
+            f"{n_mismatch}/{len(valid_pts)} rows miss dangling-dup entries"
