@@ -110,6 +110,10 @@ def main():
     ap.add_argument("--skip-mono", action="store_true")
     ap.add_argument("--long", action="store_true",
                     help="also run the 1000+-frame forward-motion loop drive")
+    ap.add_argument("--torture", action="store_true",
+                    help="long-drive torture photometrics row (exposure 0.25, speed 0.12)")
+    ap.add_argument("--ab-loops", action="store_true",
+                    help="re-run loop-closing rows with enable_loops=False for A/B deltas")
     ap.add_argument("--fig8", action="store_true",
                     help="full-resolution figure-eight (two real loop closures), rgbd + mono")
     ap.add_argument("--block", action="store_true",
@@ -158,30 +162,37 @@ def main():
         voc = synth_vocabulary(k=10, depth=6, device=_jax.devices()[0])
 
     results = []
+
+    def run_row(cfg_, cam_, gt_, sensor_, label_, enable_loops=True):
+        results.append(run_sequence(cfg_, cam_, gt_, sensor_, label_,
+                                    enable_loops=enable_loops, vocabulary=voc,
+                                    result_dir=args.result_dir))
+        if enable_loops and args.ab_loops:
+            # open-loop A/B twin (VERDICT r4 #5): same sequence, loop
+            # closing disabled — EVAL.md reports the closure's ATE delta
+            results.append(run_sequence(cfg_, cam_, gt_, sensor_,
+                                        label_ + "-noloop",
+                                        enable_loops=False, vocabulary=voc,
+                                        result_dir=args.result_dir))
+
     if not args.skip_survey:
         world = PlateWorld(fx, fx, cx, cy, W, H, z0=5.0, extent=14.0,
                            n_plates=300)
         cam = ImperfectCamera(world)
         gt = survey_trajectory(n_survey, extent=9.0, rows=6)
-        results.append(run_sequence(cfg, cam, gt, "rgbd", "survey-rgbd",
-                                    enable_loops=False, vocabulary=voc,
-                                    result_dir=args.result_dir))
+        run_row(cfg, cam, gt, "rgbd", "survey-rgbd", enable_loops=False)
     if not args.skip_loop:
         world = PlateWorld(fx, fx, cx, cy, W, H, z0=5.0)
         cam = ImperfectCamera(world)
         gt = loop_trajectory(n_loop, radius=3.0)
-        results.append(run_sequence(cfg, cam, gt, "rgbd", "loop-rgbd",
-                                    enable_loops=True, vocabulary=voc,
-                                    result_dir=args.result_dir))
+        run_row(cfg, cam, gt, "rgbd", "loop-rgbd", enable_loops=True)
     if not args.skip_mono:
         import dataclasses
         cfg_m = dataclasses.replace(cfg, sensor=SENSOR_MONOCULAR, bf=0.0)
         world = PlateWorld(fx, fx, cx, cy, W, H, z0=5.0)
         cam = ImperfectCamera(world, noise_sigma=2.0)
         gt = loop_trajectory(n_loop, radius=3.0)
-        results.append(run_sequence(cfg_m, cam, gt, "mono", "loop-mono",
-                                    enable_loops=True, vocabulary=voc,
-                                    result_dir=args.result_dir))
+        run_row(cfg_m, cam, gt, "mono", "loop-mono", enable_loops=True)
     if args.long:
         # KITTI-00-scale drive: one big loop, hundreds of keyframes —
         # exercises DB erase, trajectory rehoming, covisibility and the
@@ -206,9 +217,24 @@ def main():
         # keeps the circle inside the plate field and below the texture
         # tile period (no perceptual self-aliasing).
         gt = forward_trajectory(n_long, speed=0.08, close_loop=True)
-        results.append(run_sequence(cfg_l, cam, gt, "rgbd", "long-forward-rgbd",
-                                    enable_loops=True, vocabulary=voc,
-                                    result_dir=args.result_dir))
+        run_row(cfg_l, cam, gt, "rgbd", "long-forward-rgbd", enable_loops=True)
+    if args.torture:
+        # Torture photometrics variant of the long drive (VERDICT r4 #4):
+        # exposure_amp 0.25 and 0.12 m/frame — the values the round-4
+        # harness documented as fatal ("inliers crash at the gain-0.75
+        # trough and the velocity model degrades past the search window").
+        # Tracker-envelope work (wide-window retry + RGBD th=3 local search,
+        # src/Tracking.cc:1804-1807) must carry it, not world softening.
+        import dataclasses as _dc
+        cfg_t = cfg if args.small else _dc.replace(
+            cfg, max_keyframes=256, max_map_points=1 << 15)
+        n_tort = 400 if args.small else 900
+        world = PlateWorld(fx, fx, cx, cy, W, H, z0=5.0, extent=30.0,
+                           n_plates=900, seed=11)
+        cam = ImperfectCamera(world, exposure_amp=0.25, noise_sigma=3.0)
+        gt = forward_trajectory(n_tort, speed=0.12, close_loop=True)
+        run_row(cfg_t, cam, gt, "rgbd", "torture-forward-rgbd",
+                enable_loops=True)
     if args.fig8:
         # figure-eight at full resolution: drift genuinely disconnects each
         # crossover revisit, so the complete detect -> Sim3 -> correct ->
@@ -221,15 +247,11 @@ def main():
                            n_plates=400, seed=5)
         gt = figure_eight_trajectory(n8, radius=3.2)
         cam = ImperfectCamera(world, noise_sigma=3.0)
-        results.append(run_sequence(cfg, cam, gt, "rgbd", "fig8-rgbd",
-                                    enable_loops=True, vocabulary=voc,
-                                    result_dir=args.result_dir))
+        run_row(cfg, cam, gt, "rgbd", "fig8-rgbd", enable_loops=True)
         import dataclasses as _dc
         cfg_m8 = _dc.replace(cfg, sensor=SENSOR_MONOCULAR, bf=0.0)
         cam = ImperfectCamera(world, noise_sigma=2.0)
-        results.append(run_sequence(cfg_m8, cam, gt, "mono", "fig8-mono",
-                                    enable_loops=True, vocabulary=voc,
-                                    result_dir=args.result_dir))
+        run_row(cfg_m8, cam, gt, "mono", "fig8-mono", enable_loops=True)
     if args.block:
         # forward-facing street-canyon circuit (the KITTI regime, VERDICT r3
         # missing #4): optical axis along motion, depth-stratified scene,
@@ -247,12 +269,8 @@ def main():
         # KITTI-flavored stereo: baseline 0.5 m -> close threshold
         # th_depth * b = 20 m, like KITTI's 35 * 0.54
         cfg_st = _dc.replace(cfg, sensor=SENSOR_STEREO, bf=fx * 0.5)
-        results.append(run_sequence(cfg_st, cam, gt, "stereo", "block-stereo",
-                                    enable_loops=True, vocabulary=voc,
-                                    result_dir=args.result_dir))
-        results.append(run_sequence(cfg, cam, gt, "rgbd", "block-rgbd",
-                                    enable_loops=True, vocabulary=voc,
-                                    result_dir=args.result_dir))
+        run_row(cfg_st, cam, gt, "stereo", "block-stereo", enable_loops=True)
+        run_row(cfg, cam, gt, "rgbd", "block-rgbd", enable_loops=True)
 
     print("\n== summary ==")
     for r in results:

@@ -194,8 +194,13 @@ def _step(cfg: SlamConfig, m: mapstate.MapState, cur: FrameData,
         tracking_ops.select_local_map(m, matched_1,
                                       max_kf=cfg.max_local_keyframes,
                                       max_pts=cfg.max_local_points)
+    # reference search radius: th=1, widened to 3 for RGBD
+    # (src/Tracking.cc:1804-1807; the post-reloc th=5 widening lives in the
+    # host-side reloc rescue rounds)
+    from ..utils.config import SENSOR_RGBD
+    th_local = 3.0 if cfg.sensor == SENSOR_RGBD else 1.0
     Tcw_2, matched_2, n_local, vis_ids, fnd_ids = tracking_ops.track_local_map(
-        cfg, m, Tcw_1, cur, matched_1, local_pt, pt_mask)
+        cfg, m, Tcw_1, cur, matched_1, local_pt, pt_mask, th=th_local)
     m = tracking_ops.update_counters(m, vis_ids, matched_2, cfg)
     ok_2 = ok_1 & (n_local >= min_local_inliers)
 
