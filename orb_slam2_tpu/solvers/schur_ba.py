@@ -240,7 +240,8 @@ def _assemble(cam, prob, poses, points, inv_sigma2, edge_mask, robust,
 
 def _chol3x3(H):
     """Closed-form batched lower Cholesky of SPD 3x3 — elementwise VPU work
-    (jnp.linalg.cholesky lowers to the scalar unit at this batch shape)."""
+    (jnp.linalg.cholesky lowers to the scalar unit at this batch shape).
+    Feed it DAMPED matrices: the eps clamps only guard exact zeros."""
     eps = 1e-20
     h11, h12, h13 = H[..., 0, 0], H[..., 0, 1], H[..., 0, 2]
     h22, h23, h33 = H[..., 1, 1], H[..., 1, 2], H[..., 2, 2]
@@ -258,6 +259,26 @@ def _chol3x3(H):
     ], axis=-2)
 
 
+def _tri_inv_t(L):
+    """Transposed inverse of a batched lower-triangular 3x3: F = (L^-1)^T
+    (upper-triangular), in closed form — divisions only by the Cholesky
+    diagonal of a damped SPD matrix, so every step is well-conditioned."""
+    l11, l21, l31 = L[..., 0, 0], L[..., 1, 0], L[..., 2, 0]
+    l22, l32, l33 = L[..., 1, 1], L[..., 2, 1], L[..., 2, 2]
+    m11 = 1.0 / l11
+    m22 = 1.0 / l22
+    m33 = 1.0 / l33
+    m21 = -l21 * m11 * m22
+    m32 = -l32 * m22 * m33
+    m31 = (l21 * l32 - l31 * l22) * m11 * m22 * m33
+    zero = jnp.zeros_like(l11)
+    return jnp.stack([
+        jnp.stack([m11, m21, m31], axis=-1),
+        jnp.stack([zero, m22, m32], axis=-1),
+        jnp.stack([zero, zero, m33], axis=-1),
+    ], axis=-2)
+
+
 def _solve_step(prob, lin, lam, onehot):
     """Damped Schur solve from an existing linearization, in A-form:
     with L = chol(Hpp_d^-1) and A_e = W_e L, the aggregated
@@ -272,8 +293,14 @@ def _solve_step(prob, lin, lam, onehot):
     Hpp_d = lin.Hpp + lam * jnp.eye(3) * jnp.maximum(
         jnp.diagonal(lin.Hpp, axis1=-2, axis2=-1).max(-1), 1e-6)[:, None, None]
     Hpp_d = jnp.where(lin.pt_on[:, None, None], Hpp_d, jnp.eye(3))
-    Hpp_inv = _inv3x3(Hpp_d)
-    L = _chol3x3(Hpp_inv)                               # (Q,3,3) lower
+    # Factor the DAMPED SPD landmark block itself: with L_H = chol(Hpp_d),
+    # F = L_H^-T satisfies F F^T = Hpp_d^-1 — the only property the A-form
+    # needs. (Factoring chol(_inv3x3(Hpp_d)) instead was the round-5 mono
+    # regression: the adjugate inverse of a thin-parallax landmark block is
+    # not numerically SPD, the clamped Cholesky emitted ~1e10 factors, and
+    # the poisoned Schur steps under-converged local BA until monocular
+    # maps degraded map-wide.)
+    L = _tri_inv_t(_chol3x3(Hpp_d))                     # (Q,3,3) upper
 
     # A_e = W_e @ L_q, unrolled over the 3-dim contraction so XLA fuses it
     # elementwise (a (Q*O)-batched (6,3)@(3,3) einsum runs as tiny serial
