@@ -579,7 +579,7 @@ def replace_points_fast(m: MapState, mapping, max_replaced: int = 2048):
 # ---------------------------------------------------------------------------
 
 @functools.partial(jax.jit, static_argnames=("max_obs", "chunk"))
-def point_observations(m: MapState, max_obs: int = 16, chunk: int = 64):
+def point_observations(m: MapState, max_obs: int = 16, chunk: int = 32):
     """Build point-major observation lists from kf_obs: returns
     (obs_kf, obs_feat, obs_valid), each (P, max_obs). Points with more than
     max_obs observations keep the first max_obs by (kf, feat) order.

@@ -214,8 +214,10 @@ def _triangulate_decide(cfg: SlamConfig, m: mapstate.MapState, kf1, kf2,
     epi_far = d_epi >= 100.0 * sf2
     cand = un1[:, None] & un2[None, :] & epi_ok & epi_far[None, :]
 
-    dist = matching.hamming_matrix(m.kf_desc[kf1], m.kf_desc[kf2])
-    best, best_idx, _ = matching.best_two(dist, cand)
+    # fused masked Hamming top-2 (Pallas on TPU): the XLA path writes and
+    # re-reads the (N,N) distance matrix per NEIGHBOR of the vmapped batch
+    best, best_idx, _ = matching.fused_best_two(
+        m.kf_desc[kf1], m.kf_desc[kf2], cand, cfg.use_pallas_effective)
     accept = (best <= matching.TH_LOW) & un1
     accept = matching.rotation_consistency(
         m.kf_angle[kf1], m.kf_angle[kf2], accept, best_idx)

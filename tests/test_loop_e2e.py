@@ -89,7 +89,11 @@ def test_mono_loop_closure_corrects_scale_drift():
         ba_local_cams=16, ba_fixed_cams=16, ba_max_points=1 << 11,
         ba_max_obs=8, max_local_keyframes=32, max_local_points=1 << 12)
     world = PlateWorld(fx, fx, 160.0, 120.0, 320, 240, z0=5.0)
-    gt = loop_trajectory(140, radius=3.0)
+    # 160 frames / overshoot 0.45: enough organic drift that the closure
+    # measurably IMPROVES the trajectory (advisor r4: the previous 140-frame
+    # lap only supported a does-not-hurt bound; measured here
+    # ON 16.4 cm vs OFF 23.0 cm)
+    gt = loop_trajectory(160, radius=3.0, overshoot=0.45)
     frames = [world.render_with_depth(T)[0] for T in gt]
 
     def run(enable_loop):
@@ -107,9 +111,10 @@ def test_mono_loop_closure_corrects_scale_drift():
     s_off, rmse_off, drift_off = run(False)
     s_on, rmse_on, drift_on = run(True)
     assert s_on.n_loops_closed >= 1, "mono loop not closed"
-    # the closure must not hurt the map (scale-pinned Sim3), in either
-    # position or accumulated scale drift
-    assert rmse_on <= rmse_off * 1.15 + 0.01, \
+    # the 7-DoF correction must IMPROVE the drifted trajectory (measured
+    # 16.4 vs 23.0 cm; 0.9 leaves margin for numeric shifts), and must not
+    # hurt accumulated scale drift (scale-pinned Sim3)
+    assert rmse_on <= rmse_off * 0.9, \
         f"loop ON {rmse_on*100:.1f} cm vs OFF {rmse_off*100:.1f} cm"
     assert drift_on <= drift_off * 1.2 + 5e-3, \
         f"scale drift ON {drift_on:.4f} vs OFF {drift_off:.4f}"
