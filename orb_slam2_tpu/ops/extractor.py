@@ -68,16 +68,31 @@ def build_pyramid(img, cfg: SlamConfig):
 
 
 def extract_level(img, budget: int, ini_th: float, min_th: float,
-                  per_cell: int = 1):
-    """One pyramid level -> (ys, xs, resp, valid, angle, desc), all (budget,...)."""
+                  per_cell: int = 1, use_pallas: bool = False,
+                  interpret: bool = False):
+    """One pyramid level -> (ys, xs, resp, valid, angle, desc), all (budget,...).
+
+    use_pallas routes the dense stage (FAST score + NMS + threshold masks +
+    blur) through the fused Pallas kernel (`ops/pallas_extract.py`) — one
+    launch instead of the ~40-60-op XLA chain; bit-identical outputs
+    (tests/test_pallas_extract.py)."""
     h, w = img.shape
     min_b = EDGE_THRESHOLD - 3
     max_bx = w - EDGE_THRESHOLD + 3
     max_by = h - EDGE_THRESHOLD + 3
 
-    score = fast_ops.fast_score_map(img)
-    cand, cand_score = fast_ops.compute_candidates(
-        score, ini_th, min_th, min_b, max_bx, min_b, max_by)
+    if use_pallas:
+        from . import pallas_extract
+        score_nms, hi, blurred = pallas_extract.dense_stage_pallas(
+            img, ini_th, min_th, min_b, max_bx, min_b, max_by,
+            interpret=interpret)
+        cand_score = pallas_extract.candidates_from_dense(
+            score_nms, hi, min_b, max_bx, min_b, max_by)
+    else:
+        score = fast_ops.fast_score_map(img)
+        cand, cand_score = fast_ops.compute_candidates(
+            score, ini_th, min_th, min_b, max_bx, min_b, max_by)
+        blurred = image_ops.gaussian_blur(img)
     ys, xs, resp, valid = select_ops.select_uniform(
         cand_score, budget, min_b, max_bx, min_b, max_by, per_cell=per_cell)
 
@@ -86,7 +101,6 @@ def extract_level(img, budget: int, ini_th: float, min_th: float,
     xs_safe = jnp.where(valid, xs, EDGE_THRESHOLD)
 
     angle = orient_brief.ic_angles(img, ys_safe, xs_safe)
-    blurred = image_ops.gaussian_blur(img)
     desc = orient_brief.steered_brief(blurred, ys_safe, xs_safe, angle)
     return ys, xs, resp, valid, angle, desc
 
@@ -102,7 +116,8 @@ def extract(img, cfg: SlamConfig) -> Keypoints:
     for lvl in range(cfg.n_levels):
         ys, xs, resp, valid, angle, desc = extract_level(
             pyr[lvl], budgets[lvl], cfg.ini_th_fast, cfg.min_th_fast,
-            per_cell=2 if cfg.select_top2 else 1)
+            per_cell=2 if cfg.select_top2 else 1,
+            use_pallas=cfg.use_pallas_effective)
         s = scale_factors[lvl]
         xy = jnp.stack([xs.astype(jnp.float32) * s, ys.astype(jnp.float32) * s], axis=-1)
         xy_all.append(xy)

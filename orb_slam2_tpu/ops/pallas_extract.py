@@ -1,0 +1,190 @@
+"""Fused Pallas TPU kernel for the dense stage of ORB extraction.
+
+One kernel pass per pyramid level replaces the XLA chain of
+`fast.fast_score_map` (16 circle diffs + log-step circular min-windows) +
+`fast.nms3x3` + the dual-threshold masks of `fast.compute_candidates` +
+`image.gaussian_blur` (9x9 sigma=2). The XLA path runs as ~40-60 image-scale
+op launches per level; the extraction step is latency-bound on TPU (PERF.md:
+~6 ms of pure op-count latency against a ~0.1 ms HBM-traffic floor), so the
+win is collapsing launches, not FLOPs.
+
+The kernel tiles the image into row strips (grid over sublane strips; the
+padded input stays resident in VMEM across grid steps) and emits three
+per-pixel maps:
+
+- `score_nms`: FAST-9-16 corner score where the pixel is a low-threshold
+  corner inside the detection region AND survives 3x3 non-max suppression
+  (the same masked-score NMS as the XLA path), else -inf;
+- `hi`: 1.0 where the score clears the high threshold inside the region
+  (input to the per-cell dual-threshold fallback, pooled outside);
+- `blur`: the 9x9 sigma=2 Gaussian with BORDER_REFLECT_101, bit-identical
+  accumulation order to `image.gaussian_blur`.
+
+Reference behavior: `src/ORBextractor.cc:1046-1160` (dual-threshold cell
+FAST) and `src/ORBextractor.cc:1609-1615` (the descriptor blur).
+
+Hardware notes (the repo's accumulated Mosaic pitfalls apply): scalar params
+enter via static Python closure (SMEM inputs read zeros when inlined on the
+axon backend); boolean selects stay in logical-op form; all stores are
+full-tile.
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import fast as fast_ops
+from .image import _gaussian_kernel_1d
+
+PAD = 5          # input halo: blur needs 4, FAST circle 3, NMS +1
+NEG = -jnp.inf
+
+
+def _dense_kernel(x_ref, score_ref, hi_ref, blur_ref, *,
+                  S: int, ini_th: float, min_th: float,
+                  min_bx: int, max_bx: int, min_by: int, max_by: int):
+    """One row strip. x_ref: full padded image (Hp, Wp) resident in VMEM;
+    image pixel (y, x) lives at x_ref[y+PAD, x+PAD]. Outputs are (S, Wp)
+    strips aligned so out[s, c] = image pixel (row0+s, c)."""
+    i = pl.program_id(0)
+    row0 = i * S
+    Wp = x_ref.shape[1]
+
+    def lsh(v, k: int):
+        # lane left-shift by k: out[c] = v[c + k]; pltpu.roll only accepts
+        # non-negative shifts, and the wrapped lanes land beyond the valid
+        # image columns where every consumer is masked
+        return pltpu.roll(v, Wp - k, 1) if k else v
+
+    def shifted(dy: int, dx: int, rows: int, base_row: int):
+        """(rows, Wp) with [s, c] = image(base_row + s + dy, c - 1 + dx)
+        where base_row is in image coords of local row s=0."""
+        v = x_ref[pl.ds(row0 + base_row + PAD + dy, rows), :]
+        return lsh(v, PAD - 1 + dx)
+
+    # ---- FAST score on the extended strip (rows -1 .. S, cols -1 ..) ----
+    SE = S + 2
+    p = shifted(0, 0, SE, -1)
+    circ = [shifted(int(dy), int(dx), SE, -1) for dx, dy in fast_ops.CIRCLE]
+    d = [c - p for c in circ]
+
+    def min9_max(sign):
+        m2 = [jnp.minimum(sign * d[k], sign * d[(k + 1) % 16])
+              for k in range(16)]
+        m4 = [jnp.minimum(m2[k], m2[(k + 2) % 16]) for k in range(16)]
+        m8 = [jnp.minimum(m4[k], m4[(k + 4) % 16]) for k in range(16)]
+        m9 = [jnp.minimum(m8[k], sign * d[(k + 8) % 16]) for k in range(16)]
+        out = m9[0]
+        for k in range(1, 16):
+            out = jnp.maximum(out, m9[k])
+        return out
+
+    score_ext = jnp.maximum(min9_max(1.0), min9_max(-1.0))   # (SE, Wp)
+
+    # detection-region mask on the extended strip (image row row0-1+s, col c-1)
+    rr = jax.lax.broadcasted_iota(jnp.int32, (SE, Wp), 0) + (row0 - 1)
+    cc = jax.lax.broadcasted_iota(jnp.int32, (SE, Wp), 1) - 1
+    B = fast_ops.BORDER
+    in_reg_ext = ((rr >= min_by + B) & (rr < max_by - B)
+                  & (cc >= min_bx + B) & (cc < max_bx - B))
+    lo_ext = (score_ext > min_th) & in_reg_ext
+    t = jnp.where(lo_ext, score_ext, 0.0)
+
+    # 3x3 NMS over the masked score, aligned to the output strip
+    def win(a, dr: int, dc: int):
+        return lsh(a[dr:dr + S, :], dc)
+    neigh = win(t, 0, 0)
+    for dr in range(3):
+        for dc in range(3):
+            if dr == 0 and dc == 0:
+                continue
+            neigh = jnp.maximum(neigh, win(t, dr, dc))
+    t_c = win(t, 1, 1)
+    keep = t_c >= neigh
+
+    score_c = win(score_ext, 1, 1)
+    lo_c = win(lo_ext.astype(jnp.float32), 1, 1) > 0.5
+    in_reg_c = win(in_reg_ext.astype(jnp.float32), 1, 1) > 0.5
+    score_ref[...] = jnp.where(lo_c & keep, score_c, NEG)
+    hi_ref[...] = jnp.where((score_c > ini_th) & in_reg_c, 1.0, 0.0)
+
+    # ---- 9x9 sigma=2 Gaussian, same left-fold order as image.gaussian_blur
+    k9 = [float(v) for v in _gaussian_kernel_1d(9, 2.0)]
+    rows_acc = k9[0] * x_ref[pl.ds(row0 + 1, S), :]
+    for j in range(1, 9):
+        rows_acc = rows_acc + k9[j] * x_ref[pl.ds(row0 + 1 + j, S), :]
+    out = k9[0] * lsh(rows_acc, 1)
+    for j in range(1, 9):
+        out = out + k9[j] * lsh(rows_acc, 1 + j)
+    blur_ref[...] = out
+
+
+def _rnd(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "ini_th", "min_th", "min_bx", "max_bx", "min_by", "max_by", "interpret"))
+def dense_stage_pallas(img, ini_th: float, min_th: float,
+                       min_bx: int, max_bx: int, min_by: int, max_by: int,
+                       interpret: bool = False):
+    """img: (H, W) float32. Returns (score_nms (H,W) with -inf at
+    non-candidates, hi (H,W) float 0/1, blurred (H,W)). The dual-threshold
+    per-cell fallback is applied by the caller (`candidates_from_dense`)."""
+    H, W = img.shape
+    S = 64 if H >= 256 else 32
+    nS = -(-H // S)
+    Hout = nS * S
+    Hp = _rnd(Hout + 2 * PAD, 8)
+    Wp = _rnd(W + 2 * PAD, 128)
+    xpad = jnp.pad(img, ((PAD, PAD), (PAD, PAD)), mode="reflect")
+    xpad = jnp.pad(xpad, ((0, Hp - (H + 2 * PAD)), (0, Wp - (W + 2 * PAD))))
+
+    kern = functools.partial(
+        _dense_kernel, S=S, ini_th=float(ini_th), min_th=float(min_th),
+        min_bx=min_bx, max_bx=max_bx, min_by=min_by, max_by=max_by)
+    ospec = pl.BlockSpec((S, Wp), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    score, hi, blur = pl.pallas_call(
+        kern,
+        grid=(nS,),
+        in_specs=[pl.BlockSpec((Hp, Wp), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(ospec, ospec, ospec),
+        out_shape=(jax.ShapeDtypeStruct((Hout, Wp), jnp.float32),
+                   jax.ShapeDtypeStruct((Hout, Wp), jnp.float32),
+                   jax.ShapeDtypeStruct((Hout, Wp), jnp.float32)),
+        interpret=interpret,
+    )(xpad)
+    return score[:H, :W], hi[:H, :W], blur[:H, :W]
+
+
+def candidates_from_dense(score_nms, hi, min_bx: int, max_bx: int,
+                          min_by: int, max_by: int, cell: int = 30):
+    """Apply the reference's per-cell dual-threshold fallback to the fused
+    kernel's outputs: cells (~30 px over the detection region,
+    `src/ORBextractor.cc:1092-1138`) that contain a high-threshold corner
+    keep only those; others fall back to low-threshold corners. Returns the
+    (H, W) masked score for `select.select_uniform` (-inf elsewhere)."""
+    h, w = score_nms.shape
+    width = max_bx - min_bx
+    height = max_by - min_by
+    n_cols = max(int(width / cell), 1)
+    n_rows = max(int(height / cell), 1)
+    w_cell = int(np.ceil(width / n_cols))
+    h_cell = int(np.ceil(height / n_rows))
+    R, C = n_rows * h_cell, n_cols * w_cell
+
+    hi_reg = jnp.pad(hi[min_by:max_by, min_bx:max_bx] > 0.5,
+                     ((0, R - height), (0, C - width)))
+    cell_has_hi = hi_reg.reshape(n_rows, h_cell, n_cols, w_cell).max(axis=(1, 3))
+    use_lo_reg = ~jnp.repeat(jnp.repeat(cell_has_hi, h_cell, axis=0),
+                             w_cell, axis=1)[:height, :width]
+    use_lo = jnp.pad(use_lo_reg,
+                     ((min_by, h - max_by), (min_bx, w - max_bx)))
+    keep = (hi > 0.5) | use_lo
+    return jnp.where(keep, score_nms, NEG)

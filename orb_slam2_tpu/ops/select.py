@@ -10,10 +10,14 @@ reaches the budget, keep the best-scoring pixel per occupied cell at that
 depth, and trim to the budget by response with top_k.
 
 TPU-native formulation: cells are pixel-aligned (ceil cell sizes) and NESTED
-across depths, so every per-cell reduction is a reshape + max/min pool — zero
-scatters. (The first cut scattered per-cell maxima with `.at[cid].max`, which
-serializes on TPU: ~53 ms per VGA level, ~175 ms of a 193 ms extraction.
-Pooling runs the same ladder in well under a millisecond of VPU work.)
+across depths, so the image-resolution work happens exactly ONCE — the finest
+grid's per-cell (winner value, first-pixel index) via a reshape + max/min
+pool — and every coarser depth is a 2x2 merge of tiny (<=64 x 64*nIni) winner
+grids with the same (value desc, pixel-index asc) tie-break. Zero scatters.
+(History: the first cut scattered per-cell maxima with `.at[cid].max`, which
+serializes on TPU: ~53 ms per VGA level. The second cut pooled every depth
+from full resolution: ~7 image-scale pool+broadcast passes per level. The
+nested merge keeps one.)
 """
 from __future__ import annotations
 
@@ -22,6 +26,42 @@ import jax
 import jax.numpy as jnp
 
 MAX_DEPTH = 7  # 4^7 * nIni cells — beyond any per-level budget
+
+
+def _better(va, ia, vb, ib):
+    """Strict (value desc, pixel index asc) order: is entry a before b?"""
+    return (va > vb) | ((va == vb) & (ia < ib))
+
+
+def _fold_best(entries):
+    """Best (v, i) of a list of entry pairs under `_better`."""
+    v, i = entries[0]
+    for vn, inn in entries[1:]:
+        take = _better(vn, inn, v, i)
+        v = jnp.where(take, vn, v)
+        i = jnp.where(take, inn, i)
+    return v, i
+
+
+def _top2_of(entries, noidx):
+    """Top-2 entries of a list of (v, i) pairs under `_better`, removing the
+    chosen first entry exactly once (indices are unique except padded noidx
+    rows, which are interchangeable)."""
+    v1, i1 = _fold_best(entries)
+    rest = []
+    taken = None
+    for v, i in entries:
+        match = (v == v1) & (i == i1)
+        if taken is None:
+            remove = match
+            taken = match
+        else:
+            remove = match & ~taken
+            taken = taken | match
+        rest.append((jnp.where(remove, -jnp.inf, v),
+                     jnp.where(remove, noidx, i)))
+    v2, i2 = _fold_best(rest)
+    return v1, i1, v2, i2
 
 
 def select_uniform(score, budget: int,
@@ -62,39 +102,55 @@ def select_uniform(score, budget: int,
     F = nrf * ncf                   # finest cell count — per-depth grids are
                                     # padded to this so depths stack
 
-    def pool(a, nr, nc, op):
-        return op(a.reshape(nr, R // nr, nc, C // nc), axis=(1, 3))
+    def pool(a, op):
+        return op(a.reshape(nrf, ch, ncf, cw), axis=(1, 3))
 
-    def up(g, nr, nc):
-        return jnp.repeat(jnp.repeat(g, R // nr, axis=0), C // nc, axis=1)
+    def up(g):
+        return jnp.repeat(jnp.repeat(g, ch, axis=0), cw, axis=1)
 
-    def winners_at(values, vcand, nr, nc):
-        """Per-cell (winner value, winner pixel index, winner pixel mask)."""
-        gmax = pool(values, nr, nc, jnp.max)
-        is_max = vcand & (values == up(gmax, nr, nc))
-        first = pool(jnp.where(is_max, lin, NOIDX), nr, nc, jnp.min)
-        win_mask = is_max & (lin == up(first, nr, nc))
-        return gmax, first, win_mask
+    # ---- the ONLY image-resolution pass: finest-depth per-cell winners ----
+    v1 = pool(sl, jnp.max)                              # (nrf, ncf)
+    is_max = cand & (sl == up(v1))
+    i1 = pool(jnp.where(is_max, lin, NOIDX), jnp.min)
+    if per_cell >= 2:
+        win_mask = is_max & (lin == up(i1))
+        sl2 = jnp.where(win_mask, -jnp.inf, sl)
+        v2 = pool(sl2, jnp.max)
+        is_max2 = (sl2 > -jnp.inf) & (sl2 == up(v2))
+        i2 = pool(jnp.where(is_max2, lin, NOIDX), jnp.min)
+    else:
+        v2 = i2 = None
 
-    # Per depth, collect the winner (value, index) PER CELL — top_k then runs
-    # over <= F (+F for per_cell=2) entries instead of the whole image
-    # (R*C ~ 300k): the full-image top_k was the next-largest term after the
-    # scatters in the original formulation.
+    # ---- coarser depths: 2x2 merges of tiny winner grids ----
+    def quads(a):
+        q = a.reshape(a.shape[0] // 2, 2, a.shape[1] // 2, 2)
+        return [q[:, 0, :, 0], q[:, 0, :, 1], q[:, 1, :, 0], q[:, 1, :, 1]]
+
+    states = [(v1, i1, v2, i2)]                         # index: D-1-d
+    for _ in range(D - 1):
+        pv1, pi1, pv2, pi2 = states[-1]
+        e1 = list(zip(quads(pv1), quads(pi1)))
+        if per_cell >= 2:
+            ents = e1 + list(zip(quads(pv2), quads(pi2)))
+            states.append(_top2_of(ents, NOIDX))
+        else:
+            nv, ni = _fold_best(e1)
+            states.append((nv, ni, None, None))
+    states = states[::-1]                               # index by depth d
+
     val_rows, idx_rows, occupied = [], [], []
     for d in range(D):
-        nr, nc = 1 << d, n_ini << d
-        gmax, first, winner = winners_at(sl, cand, nr, nc)
-        occupied.append(jnp.sum(gmax > -jnp.inf))
-        vals = [jnp.pad(gmax.reshape(-1), (0, F - nr * nc),
+        gv1, gi1, gv2, gi2 = states[d]
+        n_cells = gv1.size
+        occupied.append(jnp.sum(gv1 > -jnp.inf))
+        vals = [jnp.pad(gv1.reshape(-1), (0, F - n_cells),
                         constant_values=-jnp.inf)]
-        idxs = [jnp.pad(first.reshape(-1), (0, F - nr * nc),
+        idxs = [jnp.pad(gi1.reshape(-1), (0, F - n_cells),
                         constant_values=NOIDX)]
         if per_cell >= 2:
-            sl2 = jnp.where(winner, -jnp.inf, sl)
-            gmax2, first2, _ = winners_at(sl2, sl2 > -jnp.inf, nr, nc)
-            vals.append(jnp.pad(gmax2.reshape(-1), (0, F - nr * nc),
+            vals.append(jnp.pad(gv2.reshape(-1), (0, F - n_cells),
                                 constant_values=-jnp.inf))
-            idxs.append(jnp.pad(first2.reshape(-1), (0, F - nr * nc),
+            idxs.append(jnp.pad(gi2.reshape(-1), (0, F - n_cells),
                                 constant_values=NOIDX))
         val_rows.append(jnp.concatenate(vals))
         idx_rows.append(jnp.concatenate(idxs))
