@@ -56,8 +56,13 @@ def pyramid_sizes(height: int, width: int, n_levels: int, scale_factor: float):
 
 def build_pyramid(img, cfg: SlamConfig):
     """(H,W) float32 -> list of per-level images (cascaded bilinear resize).
-    With cfg.use_pallas_effective (the TPU-optimized build) the resize matmuls run at
-    the MXU's native bf16 rate; the CPU/oracle path stays f32-exact."""
+    With cfg.use_pallas_effective (the TPU-optimized build) the whole cascade
+    runs as ONE fused Pallas launch of bf16-input/f32-accum MXU matmuls
+    (measured: the XLA chain of 14 small matmuls costs ~2.4 ms of pure
+    per-op overhead); the CPU/oracle path stays f32-exact."""
+    if cfg.use_pallas_effective:
+        from . import pallas_extract
+        return pallas_extract.pyramid_pallas(img, cfg)
     sizes = pyramid_sizes(img.shape[0], img.shape[1], cfg.n_levels, cfg.scale_factor)
     pyr = [img]
     for lvl in range(1, cfg.n_levels):

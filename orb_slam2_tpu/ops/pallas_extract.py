@@ -52,8 +52,12 @@ def _dense_kernel(x_ref, score_ref, hi_ref, blur_ref, *,
     image pixel (y, x) lives at x_ref[y+PAD, x+PAD]. Outputs are (S, Wp)
     strips aligned so out[s, c] = image pixel (row0+s, c)."""
     i = pl.program_id(0)
-    row0 = i * S
+    # Mosaic requires dynamic sublane offsets provably 8-aligned: load ONE
+    # aligned tall block per strip (S is a multiple of 8), then every halo
+    # offset is a static value slice
+    row0 = pl.multiple_of(i * S, 8)
     Wp = x_ref.shape[1]
+    blk = x_ref[pl.ds(row0, S + 16), :]
 
     def lsh(v, k: int):
         # lane left-shift by k: out[c] = v[c + k]; pltpu.roll only accepts
@@ -64,7 +68,8 @@ def _dense_kernel(x_ref, score_ref, hi_ref, blur_ref, *,
     def shifted(dy: int, dx: int, rows: int, base_row: int):
         """(rows, Wp) with [s, c] = image(base_row + s + dy, c - 1 + dx)
         where base_row is in image coords of local row s=0."""
-        v = x_ref[pl.ds(row0 + base_row + PAD + dy, rows), :]
+        r = base_row + PAD + dy          # in [1, 9] for every caller
+        v = blk[r:r + rows, :]
         return lsh(v, PAD - 1 + dx)
 
     # ---- FAST score on the extended strip (rows -1 .. S, cols -1 ..) ----
@@ -115,9 +120,9 @@ def _dense_kernel(x_ref, score_ref, hi_ref, blur_ref, *,
 
     # ---- 9x9 sigma=2 Gaussian, same left-fold order as image.gaussian_blur
     k9 = [float(v) for v in _gaussian_kernel_1d(9, 2.0)]
-    rows_acc = k9[0] * x_ref[pl.ds(row0 + 1, S), :]
+    rows_acc = k9[0] * blk[1:1 + S, :]
     for j in range(1, 9):
-        rows_acc = rows_acc + k9[j] * x_ref[pl.ds(row0 + 1 + j, S), :]
+        rows_acc = rows_acc + k9[j] * blk[1 + j:1 + j + S, :]
     out = k9[0] * lsh(rows_acc, 1)
     for j in range(1, 9):
         out = out + k9[j] * lsh(rows_acc, 1 + j)
@@ -140,7 +145,7 @@ def dense_stage_pallas(img, ini_th: float, min_th: float,
     S = 64 if H >= 256 else 32
     nS = -(-H // S)
     Hout = nS * S
-    Hp = _rnd(Hout + 2 * PAD, 8)
+    Hp = _rnd(Hout + 16, 8)          # last strip's aligned block needs S+16
     Wp = _rnd(W + 2 * PAD, 128)
     xpad = jnp.pad(img, ((PAD, PAD), (PAD, PAD)), mode="reflect")
     xpad = jnp.pad(xpad, ((0, Hp - (H + 2 * PAD)), (0, Wp - (W + 2 * PAD))))
@@ -188,3 +193,83 @@ def candidates_from_dense(score_nms, hi, min_bx: int, max_bx: int,
                      ((min_by, h - max_by), (min_bx, w - max_bx)))
     keep = (hi > 0.5) | use_lo
     return jnp.where(keep, score_nms, NEG)
+
+
+# ---------------------------------------------------------------------------
+# Fused pyramid cascade: all per-level bilinear resizes in one kernel
+# ---------------------------------------------------------------------------
+
+def _pyramid_kernel(x_ref, *refs, sizes, n_levels):
+    """Cascaded bilinear resize, levels 1..n_levels-1 in one launch.
+
+    refs = (Ry_1, RxT_1, ..., Ry_L, RxT_L, out_1, ..., out_L). Each level is
+    two MXU matmuls (out = Ry @ cur @ Rx^T) with bf16 inputs / f32
+    accumulation — the same numeric contract as `image.resize_bilinear
+    (fast=True)`. Every dimension (including the contraction dims) is padded
+    to a 128 multiple: with ragged shapes Mosaic lowers these dots to VPU
+    reductions (~170 us each — the measured f32 VPU rate exactly), with
+    aligned tiles they run on the MXU."""
+    L = n_levels - 1
+    w_refs = refs[:2 * L]
+    out_refs = refs[2 * L:]
+    cur = x_ref[...].astype(jnp.bfloat16)
+    for l in range(L):
+        ry = w_refs[2 * l][...]
+        rxt = w_refs[2 * l + 1][...]
+        # precision=DEFAULT: the package-wide f32 matmul pin would otherwise
+        # request an fp32 contract on bf16 operands, which Mosaic rejects
+        # ("Bad lhs type"); bf16-in/f32-accum is this kernel's contract
+        tmp = jnp.dot(ry, cur, preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.DEFAULT)
+        out = jnp.dot(tmp.astype(jnp.bfloat16), rxt,
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.DEFAULT)
+        out_refs[l][...] = out
+        cur = out.astype(jnp.bfloat16)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "interpret"))
+def pyramid_pallas(img, cfg, interpret: bool = False):
+    """(H, W) float32 -> tuple of n_levels images (level 0 = img itself).
+    Wrapper around the fused cascade kernel; per-level interpolation
+    matrices are the same `image._resize_matrix` constants as the XLA path."""
+    from . import extractor as _ex
+    from .image import _resize_matrix
+    sizes = _ex.pyramid_sizes(img.shape[0], img.shape[1], cfg.n_levels,
+                              cfg.scale_factor)
+    L = cfg.n_levels - 1
+    H, W = img.shape
+    Hp, Wp = _rnd(H, 128), _rnd(W, 128)
+    xp = jnp.pad(img, ((0, Hp - H), (0, Wp - W)))
+
+    ins = [xp]
+    in_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)]
+    out_shapes, out_specs = [], []
+    prev_hp, prev_wp = Hp, Wp
+    for l in range(1, cfg.n_levels):
+        h, w = sizes[l]
+        ph, pw = sizes[l - 1]
+        hp, wp = _rnd(h, 128), _rnd(w, 128)
+        ry = np.zeros((hp, prev_hp), np.float32)
+        ry[:h, :ph] = _resize_matrix(ph, h)
+        rxt = np.zeros((prev_wp, wp), np.float32)
+        rxt[:pw, :w] = _resize_matrix(pw, w).T
+        ins += [jnp.asarray(ry, jnp.bfloat16), jnp.asarray(rxt, jnp.bfloat16)]
+        in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
+        out_shapes.append(jax.ShapeDtypeStruct((hp, wp), jnp.float32))
+        out_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        prev_hp, prev_wp = hp, wp
+
+    outs = pl.pallas_call(
+        functools.partial(_pyramid_kernel, sizes=tuple(sizes),
+                          n_levels=cfg.n_levels),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shapes),
+        interpret=interpret,
+    )(*ins)
+    pyr = [img]
+    for l in range(1, cfg.n_levels):
+        h, w = sizes[l]
+        pyr.append(outs[l - 1][:h, :w])
+    return pyr

@@ -60,3 +60,34 @@ def test_extract_level_pallas_end_to_end():
     xor = np.asarray(ref[5]) ^ np.asarray(got[5])
     flips = sum(bin(int(v)).count("1") for v in xor.reshape(-1))
     assert flips <= 8, f"{flips} descriptor bits flipped"
+
+
+def test_pyramid_cascade_matches_resize():
+    """Fused cascade (bf16-in/f32-acc MXU matmuls) vs the exact f32 XLA
+    resizes: bf16 rounds the interpolation weights, bounded well under a
+    gray level — far below the FAST thresholds (7..20)."""
+    from orb_slam2_tpu.utils.config import SlamConfig
+    from orb_slam2_tpu.ops import pallas_extract
+    rng = np.random.default_rng(3)
+    img = jnp.asarray((rng.random((480, 640)) * 255).astype(np.float32))
+    cfg = SlamConfig(fx=500.0, fy=500.0, cx=320.0, cy=240.0,
+                     width=640, height=480, bf=100.0, fps=30.0,
+                     n_features=1000)
+    from orb_slam2_tpu.ops import image as image_ops
+    ref = extractor.build_pyramid(img, cfg)          # f32 exact on CPU
+    sizes = extractor.pyramid_sizes(480, 640, cfg.n_levels, cfg.scale_factor)
+    fast = [img]                                     # the bf16 XLA fast path
+    for lvl in range(1, cfg.n_levels):
+        h, w = sizes[lvl]
+        fast.append(image_ops.resize_bilinear(fast[-1], h, w, fast=True))
+    got = pallas_extract.pyramid_pallas(img, cfg, interpret=True)
+    assert len(ref) == len(got)
+    for lvl, (a, af, b) in enumerate(zip(ref, fast, got)):
+        assert a.shape == b.shape, (lvl, a.shape, b.shape)
+        # vs the bf16 XLA cascade it replaces: same rounding contract
+        df = np.abs(np.asarray(b) - np.asarray(af))
+        assert df.max() <= 1.5, f"level {lvl}: max-vs-fast {df.max():.2f}"
+        # sanity vs exact f32: bounded far below the FAST thresholds
+        d = np.abs(np.asarray(b) - np.asarray(a))
+        assert d.max() <= 5.0, f"level {lvl}: max {d.max():.2f}"
+        assert d.mean() <= 0.5, f"level {lvl}: mean {d.mean():.3f}"
