@@ -106,7 +106,9 @@ def extract_level(img, budget: int, ini_th: float, min_th: float,
     xs_safe = jnp.where(valid, xs, EDGE_THRESHOLD)
 
     angle = orient_brief.ic_angles(img, ys_safe, xs_safe)
-    desc = orient_brief.steered_brief(blurred, ys_safe, xs_safe, angle)
+    desc = orient_brief.steered_brief(blurred, ys_safe, xs_safe, angle,
+                                      use_pallas=use_pallas,
+                                      interpret=interpret)
     return ys, xs, resp, valid, angle, desc
 
 

@@ -82,7 +82,8 @@ def brief_pattern() -> np.ndarray:
     return np.load(os.path.abspath(path))
 
 
-def steered_brief(img_blur, ys, xs, angles_deg):
+def steered_brief(img_blur, ys, xs, angles_deg, use_pallas: bool = False,
+                  interpret: bool = False):
     """256-bit steered BRIEF descriptors packed as (N, 8) uint32.
 
     img_blur: (H,W) float (9x9 sigma=2 blurred level image); keypoints at
@@ -101,13 +102,21 @@ def steered_brief(img_blur, ys, xs, angles_deg):
     dx = jnp.round(px[None, :] * ca[:, None] - py[None, :] * sa[:, None]).astype(jnp.int32)
     dy = jnp.round(px[None, :] * sa[:, None] + py[None, :] * ca[:, None]).astype(jnp.int32)
 
-    # one flat gather from the blurred image (a per-keypoint dynamic_slice
-    # patch + in-patch gather measured ~6 ms on VGA; this is one batched
-    # take of N*512 elements)
-    H, W = img_blur.shape
-    gy = jnp.clip(ys[:, None] + dy, 0, H - 1)
-    gx = jnp.clip(xs[:, None] + dx, 0, W - 1)
-    vals = jnp.take(img_blur.reshape(-1), gy * W + gx)  # (N, 512)
+    if use_pallas:
+        # zero-gather Pallas sampler: aligned patch windows + exact one-hot
+        # fp32 MXU selection (the flat take below costs ~3.5 ms/frame on
+        # TPU — 65% of extraction; TPU has no vector gather)
+        from . import pallas_extract
+        vals = pallas_extract.brief_sample_pallas(
+            img_blur, ys, xs, dx, dy, interpret=interpret)
+    else:
+        # one flat gather from the blurred image (a per-keypoint
+        # dynamic_slice patch + in-patch gather measured ~6 ms on VGA; this
+        # is one batched take of N*512 elements)
+        H, W = img_blur.shape
+        gy = jnp.clip(ys[:, None] + dy, 0, H - 1)
+        gx = jnp.clip(xs[:, None] + dx, 0, W - 1)
+        vals = jnp.take(img_blur.reshape(-1), gy * W + gx)  # (N, 512)
     t0 = vals[:, :256]
     t1 = vals[:, 256:]
     bits = (t0 < t1)                                   # (N, 256) bool

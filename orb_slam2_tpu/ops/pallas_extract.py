@@ -273,3 +273,94 @@ def pyramid_pallas(img, cfg, interpret: bool = False):
         h, w = sizes[l]
         pyr.append(outs[l - 1][:h, :w])
     return pyr
+
+
+# ---------------------------------------------------------------------------
+# Fused steered-BRIEF sampler: per-keypoint patch + exact one-hot selection
+# ---------------------------------------------------------------------------
+
+BRIEF_G = 8           # keypoints per grid step (one (8,512) lr/lc block)
+BRIEF_PR = 48         # patch rows loaded per keypoint (8-aligned, covers +-19)
+BRIEF_PC = 256        # patch cols loaded per keypoint (128-aligned window)
+
+
+def _brief_kernel(rbase_ref, cbase_ref, img_ref, lr_ref, lc_ref, out_ref):
+    """One group of 8 keypoints. For each: load the (48, 256) aligned patch
+    window around the keypoint from the blurred level image (dynamic starts
+    are 8/128-aligned by construction), then select its 512 rotated BRIEF
+    samples with an EXACT one-hot fp32 matmul over the patch columns and a
+    masked sublane reduction over the rows — zero gathers (the XLA flat
+    `jnp.take` of N x 512 scattered pixels costs ~3.5 ms/frame, ~65% of the
+    extraction step; TPU has no vector gather).
+
+    Exactness: one-hot fp32 matmuls reproduce the selected f32 value
+    bit-exactly (a single nonzero term per output; the multi-pass fp32
+    contraction reconstructs the full 24-bit mantissa), so descriptors match
+    the XLA path wherever the blur input matches."""
+    g = pl.program_id(0)
+    lr = lr_ref[...]                        # (8, 512) int32 patch-row coords
+    lc = lc_ref[...]                        # (8, 512) int32 patch-col coords
+    rows = []
+    for m in range(BRIEF_G):
+        rb = pl.multiple_of(rbase_ref[g * BRIEF_G + m], 8)
+        cb = pl.multiple_of(cbase_ref[g * BRIEF_G + m], 128)
+        patch = img_ref[pl.ds(rb, BRIEF_PR), pl.ds(cb, BRIEF_PC)]
+        # column one-hot: sel[r, k] = patch[r, lc[m, k]] via MXU
+        cidx = jax.lax.broadcasted_iota(jnp.int32, (BRIEF_PC, 512), 0)
+        coloh = (cidx == lc[m:m + 1, :]).astype(jnp.float32)
+        sel = jax.lax.dot_general(
+            patch, coloh, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)        # (48, 512)
+        # row pick: vals[k] = sel[lr[m, k], k] via masked sublane reduction
+        ridx = jax.lax.broadcasted_iota(jnp.int32, (BRIEF_PR, 512), 0)
+        rowmask = (ridx == lr[m:m + 1, :]).astype(jnp.float32)
+        rows.append(jnp.sum(sel * rowmask, axis=0, keepdims=True))
+    out_ref[...] = jnp.concatenate(rows, axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def brief_sample_pallas(img_blur, ys, xs, dx, dy, interpret: bool = False):
+    """Sample img_blur at (ys + dy, xs + dx) for each keypoint: ys/xs (N,)
+    int32 interior keypoints (>= 19 px from every border — guaranteed by the
+    extractor's EDGE_THRESHOLD region and safe-slot clamping); dx/dy (N, 512)
+    int32 rotated pattern offsets, |.| <= 19. Returns (N, 512) float32."""
+    H, W = img_blur.shape
+    N = ys.shape[0]
+    Np = _rnd(N, BRIEF_G)
+    Hp = _rnd(H + 9, 8)
+    cb_max = ((W - 39) // 128) * 128
+    Wp = cb_max + BRIEF_PC
+    imgp = jnp.pad(img_blur, ((0, Hp - H), (0, Wp - W)))
+    padn = lambda a: jnp.pad(a, ((0, Np - N),) + ((0, 0),) * (a.ndim - 1))
+    ys, xs, dx, dy = padn(ys), padn(xs), padn(dx), padn(dy)
+    # clamp padded slots (zeros) into the valid interior like the extractor
+    ys = jnp.clip(ys, 19, H - 20)
+    xs = jnp.clip(xs, 19, W - 20)
+
+    rbase = ((ys - 19) // 8) * 8
+    cbase = ((xs - 19) // 128) * 128
+    lr = (ys - rbase)[:, None] + dy                    # in [0, 45]
+    lc = (xs - cbase)[:, None] + dx                    # in [0, 165]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(Np // BRIEF_G,),
+        in_specs=[
+            pl.BlockSpec((Hp, Wp), lambda g, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BRIEF_G, 512), lambda g, *_: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BRIEF_G, 512), lambda g, *_: (g, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((BRIEF_G, 512), lambda g, *_: (g, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    vals = pl.pallas_call(
+        _brief_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((Np, 512), jnp.float32),
+        interpret=interpret,
+    )(rbase, cbase, imgp, lr, lc)
+    return vals[:N]

@@ -91,3 +91,37 @@ def test_pyramid_cascade_matches_resize():
         d = np.abs(np.asarray(b) - np.asarray(a))
         assert d.max() <= 5.0, f"level {lvl}: max {d.max():.2f}"
         assert d.mean() <= 0.5, f"level {lvl}: mean {d.mean():.3f}"
+
+
+def test_brief_sampler_bit_exact():
+    """The one-hot fp32 selection must reproduce the flat-take samples
+    bit-exactly (single nonzero term per output => no rounding)."""
+    from orb_slam2_tpu.ops import pallas_extract
+    rng = np.random.default_rng(11)
+    for h, w in ((480, 640), (134, 178)):
+        img = jnp.asarray(rng.random((h, w)).astype(np.float32) * 255)
+        n = 117
+        ys = jnp.asarray(rng.integers(19, h - 19, n), jnp.int32)
+        xs = jnp.asarray(rng.integers(19, w - 19, n), jnp.int32)
+        dx = jnp.asarray(rng.integers(-19, 20, (n, 512)), jnp.int32)
+        dy = jnp.asarray(rng.integers(-19, 20, (n, 512)), jnp.int32)
+        ref = np.asarray(img)[np.clip(np.asarray(ys)[:, None] + dy, 0, h - 1),
+                              np.clip(np.asarray(xs)[:, None] + dx, 0, w - 1)]
+        got = pallas_extract.brief_sample_pallas(img, ys, xs, dx, dy,
+                                                 interpret=True)
+        np.testing.assert_array_equal(np.asarray(got), ref)
+
+
+def test_steered_brief_pallas_matches():
+    from orb_slam2_tpu.ops import orient_brief, image as image_ops
+    rng = np.random.default_rng(5)
+    img = jnp.asarray(_image(rng, 240, 320))
+    blur = image_ops.gaussian_blur(img)
+    n = 96
+    ys = jnp.asarray(rng.integers(19, 240 - 19, n), jnp.int32)
+    xs = jnp.asarray(rng.integers(19, 320 - 19, n), jnp.int32)
+    ang = jnp.asarray(rng.random(n) * 360, jnp.float32)
+    ref = orient_brief.steered_brief(blur, ys, xs, ang)
+    got = orient_brief.steered_brief(blur, ys, xs, ang, use_pallas=True,
+                                     interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
