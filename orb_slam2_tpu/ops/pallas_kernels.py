@@ -483,3 +483,93 @@ def backend_supports_pallas() -> bool:
         return jax.default_backend() in ("tpu", "axon")
     except Exception:
         return False
+
+
+# ---------------------------------------------------------------------------
+# Fused epipolar-gated Hamming matcher (triangulation's SearchForTriangulation)
+# ---------------------------------------------------------------------------
+
+def _epi_match_kernel(a_ref, un1_ref, la_ref, lb_ref, lc_ref,
+                      b_ref, x2_ref, y2_ref, un2_ref, sig_ref, far_ref,
+                      best_ref, idx_ref):
+    """One (kf1-feature tile) x (one neighbor's full feature set) step of the
+    epipolar-guided match in `mapping_ops._triangulate_decide`
+    (SearchForTriangulation, src/ORBmatcher.cc:1006-1116): the epipolar
+    point-line test, unbound masks, epipole-distance gate, Hamming distances,
+    and the per-row argmin — all in VMEM. The XLA formulation materialized
+    ~6 (N,N) f32/int arrays in HBM per covisible neighbor (x10 neighbors per
+    keyframe event)."""
+    a = a_ref[...]                       # (T, 8) uint32 kf1 descriptors
+    b = b_ref[...]                       # (N, 8) uint32 neighbor descriptors
+    N = b.shape[0]
+    la = la_ref[...]                     # (T, 1) epipolar line coeffs
+    lb = lb_ref[...]
+    lc = lc_ref[...]
+    x2 = x2_ref[...]                     # (1, N)
+    y2 = y2_ref[...]
+    num = la * x2 + lb * y2 + lc         # (T, N)
+    den = jnp.maximum(la * la + lb * lb, 1e-12)
+    epi_ok = num * num < sig_ref[...] * den
+    cand = epi_ok & (un1_ref[...] > 0) & (un2_ref[...] > 0) \
+        & (far_ref[...] > 0)
+
+    dist = jnp.zeros((a.shape[0], N), jnp.int32)
+    for w in range(8):
+        x = jnp.bitwise_xor(a[:, w][:, None], b[:, w][None, :])
+        dist = dist + jax.lax.population_count(x).astype(jnp.int32)
+    d = jnp.where(cand, dist, BIG)
+    col = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
+    key = d * N + col
+    key_min = jnp.min(key, axis=1)
+    best = key_min // N
+    bidx = key_min - best * N
+    best_ref[...] = jnp.broadcast_to(best[:, None], (a.shape[0], 128))
+    idx_ref[...] = jnp.broadcast_to(bidx[:, None], (a.shape[0], 128))
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def epi_best_two_pallas(desc1, un1, la_b, lb_b, lc_b,
+                        desc2_b, xy2_b, un2_b, sig_b, far_b,
+                        interpret: bool = False):
+    """Batched over B neighbors. desc1 (N,8) uint32; un1 (N,) bool;
+    la/lb/lc (B,N) f32 per-neighbor epipolar lines of each kf1 feature;
+    desc2_b (B,N,8); xy2_b (B,N,2); un2_b (B,N) bool; sig_b (B,N) f32
+    (3.84*sigma2 of the kf2 octave); far_b (B,N) f32/bool epipole-distance
+    gate. Returns (best (B,N), best_idx (B,N))."""
+    B, N = la_b.shape
+    if N > 8192:
+        raise ValueError("epi_best_two_pallas: N must be <= 8192")
+    pad = (-N) % TILE_N
+    if pad:
+        raise ValueError("epi_best_two_pallas: N must be a TILE_N multiple")
+    nT = N // TILE_N
+    colf = lambda x: x.reshape(B * N, 1).astype(jnp.float32)
+    rowf = lambda x: x.astype(jnp.float32)
+
+    src_spec = pl.BlockSpec((TILE_N, 1), lambda b, i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    per_bn_col = pl.BlockSpec((TILE_N, 1), lambda b, i: (b * nT + i, 0),
+                              memory_space=pltpu.VMEM)
+    nb_row = pl.BlockSpec((1, N), lambda b, i: (b, 0), memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((TILE_N, 128), lambda b, i: (b * nT + i, 0),
+                            memory_space=pltpu.VMEM)
+    best, idx = pl.pallas_call(
+        _epi_match_kernel,
+        grid=(B, nT),
+        in_specs=[
+            pl.BlockSpec((TILE_N, 8), lambda b, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            src_spec, per_bn_col, per_bn_col, per_bn_col,
+            pl.BlockSpec((N, 8), lambda b, i: (b, 0),
+                         memory_space=pltpu.VMEM),
+            nb_row, nb_row, nb_row, nb_row, nb_row,
+        ],
+        out_specs=(out_spec, out_spec),
+        out_shape=(jax.ShapeDtypeStruct((B * N, 128), jnp.int32),
+                   jax.ShapeDtypeStruct((B * N, 128), jnp.int32)),
+        interpret=interpret,
+    )(desc1, un1.astype(jnp.float32)[:, None], colf(la_b), colf(lb_b),
+      colf(lc_b), desc2_b.reshape(B * N, 8),
+      rowf(xy2_b[..., 0]), rowf(xy2_b[..., 1]),
+      rowf(un2_b), rowf(sig_b), rowf(far_b))
+    return best[:, 0].reshape(B, N), idx[:, 0].reshape(B, N)

@@ -153,7 +153,7 @@ def _fundamental_from_poses(cam, T1w, T2w):
 
 
 def _triangulate_decide(cfg: SlamConfig, m: mapstate.MapState, kf1, kf2,
-                        max_new: int = 256):
+                        max_new: int = 256, match=None):
     """Match/triangulate/check half of CreateNewMapPoints for ONE neighbor,
     with NO map mutation — vmappable across the covisible neighbor set.
     Returns (create (N,) bool, X (N,3) world points, i2 (N,) matched feature
@@ -186,38 +186,43 @@ def _triangulate_decide(cfg: SlamConfig, m: mapstate.MapState, kf1, kf2,
     else:
         baseline_ok = baseline > cfg.baseline
 
-    F12 = _fundamental_from_poses(cam, T1, T2)
-
     # candidates: valid, unbound features on both sides
     un1 = (m.kf_obs[kf1] < 0) & m.kf_feat_valid[kf1]
-    un2 = (m.kf_obs[kf2] < 0) & m.kf_feat_valid[kf2]
     xy1 = m.kf_xy[kf1]
     xy2 = m.kf_xy[kf2]
     sigma2 = jnp.asarray(cfg.level_sigma2, jnp.float32)
     lvl2 = jnp.clip(m.kf_level[kf2], 0, cfg.n_levels - 1)
 
-    # epipolar distance of kp2 to line F12 [kp1;1]
-    la = xy1[:, 0] * F12[0, 0] + xy1[:, 1] * F12[0, 1] + F12[0, 2]
-    lb = xy1[:, 0] * F12[1, 0] + xy1[:, 1] * F12[1, 1] + F12[1, 2]
-    lc = xy1[:, 0] * F12[2, 0] + xy1[:, 1] * F12[2, 1] + F12[2, 2]
-    num = la[:, None] * xy2[None, :, 0] + lb[:, None] * xy2[None, :, 1] + lc[:, None]
-    den = jnp.maximum(la * la + lb * lb, 1e-12)[:, None]
-    dsqr = num * num / den
-    epi_ok = dsqr < 3.84 * sigma2[lvl2][None, :]
+    if match is not None:
+        # epipolar gating + Hamming argmin already done in one fused Pallas
+        # sweep across the whole neighbor batch (_epi_match_batch)
+        best, best_idx = match
+    else:
+        F12 = _fundamental_from_poses(cam, T1, T2)
+        un2 = (m.kf_obs[kf2] < 0) & m.kf_feat_valid[kf2]
 
-    # also require the epipole not too close to kp2 (mono degenerate case)
-    e2 = se3.apply(T2, O1)
-    ex = cam.fx * e2[0] / jnp.maximum(e2[2], 1e-9) + cam.cx
-    ey = cam.fy * e2[1] / jnp.maximum(e2[2], 1e-9) + cam.cy
-    d_epi = (xy2[:, 0] - ex) ** 2 + (xy2[:, 1] - ey) ** 2
-    sf2 = jnp.asarray(cfg.scale_factors, jnp.float32)[lvl2]
-    epi_far = d_epi >= 100.0 * sf2
-    cand = un1[:, None] & un2[None, :] & epi_ok & epi_far[None, :]
+        # epipolar distance of kp2 to line F12 [kp1;1]
+        la = xy1[:, 0] * F12[0, 0] + xy1[:, 1] * F12[0, 1] + F12[0, 2]
+        lb = xy1[:, 0] * F12[1, 0] + xy1[:, 1] * F12[1, 1] + F12[1, 2]
+        lc = xy1[:, 0] * F12[2, 0] + xy1[:, 1] * F12[2, 1] + F12[2, 2]
+        num = la[:, None] * xy2[None, :, 0] + lb[:, None] * xy2[None, :, 1] + lc[:, None]
+        den = jnp.maximum(la * la + lb * lb, 1e-12)[:, None]
+        dsqr = num * num / den
+        epi_ok = dsqr < 3.84 * sigma2[lvl2][None, :]
 
-    # fused masked Hamming top-2 (Pallas on TPU): the XLA path writes and
-    # re-reads the (N,N) distance matrix per NEIGHBOR of the vmapped batch
-    best, best_idx, _ = matching.fused_best_two(
-        m.kf_desc[kf1], m.kf_desc[kf2], cand, cfg.use_pallas_effective)
+        # also require the epipole not too close to kp2 (mono degenerate case)
+        e2 = se3.apply(T2, O1)
+        ex = cam.fx * e2[0] / jnp.maximum(e2[2], 1e-9) + cam.cx
+        ey = cam.fy * e2[1] / jnp.maximum(e2[2], 1e-9) + cam.cy
+        d_epi = (xy2[:, 0] - ex) ** 2 + (xy2[:, 1] - ey) ** 2
+        sf2 = jnp.asarray(cfg.scale_factors, jnp.float32)[lvl2]
+        epi_far = d_epi >= 100.0 * sf2
+        cand = un1[:, None] & un2[None, :] & epi_ok & epi_far[None, :]
+
+        # fused masked Hamming top-2 (Pallas on TPU): the XLA path writes and
+        # re-reads the (N,N) distance matrix per NEIGHBOR of the vmapped batch
+        best, best_idx, _ = matching.fused_best_two(
+            m.kf_desc[kf1], m.kf_desc[kf2], cand, cfg.use_pallas_effective)
     accept = (best <= matching.TH_LOW) & un1
     accept = matching.rotation_consistency(
         m.kf_angle[kf1], m.kf_angle[kf2], accept, best_idx)
@@ -371,6 +376,44 @@ def triangulate_with_neighbor(cfg: SlamConfig, m: mapstate.MapState,
     return _commit_new_points(cfg, m, kf1, nb, create, X, i2, best)
 
 
+def _epi_match_batch(cfg: SlamConfig, m: mapstate.MapState, kf1,
+                     neighbor_ids, interpret: bool = False):
+    """Epipolar-gated Hamming match of kf1 against the whole covisible
+    neighbor batch in ONE fused Pallas sweep (pallas_kernels.
+    epi_best_two_pallas): per-neighbor epipolar lines, unbound masks, and
+    the epipole-distance gate are O(B*N) vectors computed here; the O(B*N^2)
+    point-line test + distance argmin never touch HBM. Semantically equal to
+    the per-neighbor cand + fused_best_two path of _triangulate_decide."""
+    from ..ops import pallas_kernels as pk
+    cam = cfg.camera()
+    K = jnp.array([[cam.fx, 0, cam.cx], [0, cam.fy, cam.cy], [0, 0, 1.0]])
+    kf2 = jnp.clip(jnp.maximum(neighbor_ids, 0), 0, m.capacity_kf - 1)
+    T1 = m.kf_pose[kf1]
+    T2b = m.kf_pose[kf2]
+    F12b = jax.vmap(lambda T2: _fundamental_from_poses(cam, T1, T2))(T2b)
+    xy1 = m.kf_xy[kf1]
+    N = m.n_feat
+    h1 = jnp.concatenate([xy1, jnp.ones((N, 1), xy1.dtype)], axis=-1)
+    lines = jnp.einsum("bij,nj->bin", F12b, h1)          # (B, 3, N)
+    un1 = (m.kf_obs[kf1] < 0) & m.kf_feat_valid[kf1]
+    un2_b = (m.kf_obs[kf2] < 0) & m.kf_feat_valid[kf2]
+    xy2_b = m.kf_xy[kf2]
+    sigma2 = jnp.asarray(cfg.level_sigma2, jnp.float32)
+    lvl2_b = jnp.clip(m.kf_level[kf2], 0, cfg.n_levels - 1)
+    sig_b = 3.84 * sigma2[lvl2_b]
+    O1 = se3.translation(se3.inverse(T1))
+    e2b = jax.vmap(lambda T2: se3.apply(T2, O1[None, :])[0])(T2b)
+    ex = cam.fx * e2b[:, 0] / jnp.maximum(e2b[:, 2], 1e-9) + cam.cx
+    ey = cam.fy * e2b[:, 1] / jnp.maximum(e2b[:, 2], 1e-9) + cam.cy
+    d_epi = (xy2_b[..., 0] - ex[:, None]) ** 2 + \
+        (xy2_b[..., 1] - ey[:, None]) ** 2
+    sf2 = jnp.asarray(cfg.scale_factors, jnp.float32)[lvl2_b]
+    far_b = d_epi >= 100.0 * sf2
+    return pk.epi_best_two_pallas(
+        m.kf_desc[kf1], un1, lines[:, 0, :], lines[:, 1, :], lines[:, 2, :],
+        m.kf_desc[kf2], xy2_b, un2_b, sig_b, far_b, interpret=interpret)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "max_new"))
 def triangulate_batch(cfg: SlamConfig, m: mapstate.MapState, kf1,
                       neighbor_ids, max_new: int = 256):
@@ -390,9 +433,16 @@ def triangulate_batch(cfg: SlamConfig, m: mapstate.MapState, kf1,
     picking by best descriptor distance or by largest parallax instead
     produced measurably noisier points (wide-baseline matches triangulate
     wrong matches confidently) until tracking collapsed mid-sequence."""
-    decide = lambda nb: _triangulate_decide(
-        cfg, m, kf1, jnp.maximum(nb, 0), max_new)
-    create_b, X_b, i2_b, best_b, cos_b = jax.vmap(decide)(neighbor_ids)
+    if cfg.use_pallas_effective and m.n_feat % 128 == 0 and m.n_feat <= 8192:
+        best_all, idx_all = _epi_match_batch(cfg, m, kf1, neighbor_ids)
+        decide = lambda nb, bb, ii: _triangulate_decide(
+            cfg, m, kf1, jnp.maximum(nb, 0), max_new, match=(bb, ii))
+        create_b, X_b, i2_b, best_b, cos_b = jax.vmap(decide)(
+            neighbor_ids, best_all, idx_all)
+    else:
+        decide = lambda nb: _triangulate_decide(
+            cfg, m, kf1, jnp.maximum(nb, 0), max_new)
+        create_b, X_b, i2_b, best_b, cos_b = jax.vmap(decide)(neighbor_ids)
     create_b = create_b & (neighbor_ids >= 0)[:, None]
     N = m.n_feat
     winner = jnp.argmax(create_b, axis=0)   # first True = covis order
