@@ -500,18 +500,18 @@ def _epi_match_kernel(a_ref, un1_ref, la_ref, lb_ref, lc_ref,
     ~6 (N,N) f32/int arrays in HBM per covisible neighbor (x10 neighbors per
     keyframe event)."""
     a = a_ref[...]                       # (T, 8) uint32 kf1 descriptors
-    b = b_ref[...]                       # (N, 8) uint32 neighbor descriptors
+    b = b_ref[0]                         # (N, 8) uint32 neighbor descriptors
     N = b.shape[0]
     la = la_ref[...]                     # (T, 1) epipolar line coeffs
     lb = lb_ref[...]
     lc = lc_ref[...]
-    x2 = x2_ref[...]                     # (1, N)
-    y2 = y2_ref[...]
+    x2 = x2_ref[0]                       # (1, N) from the (1, 1, N) block
+    y2 = y2_ref[0]
     num = la * x2 + lb * y2 + lc         # (T, N)
     den = jnp.maximum(la * la + lb * lb, 1e-12)
-    epi_ok = num * num < sig_ref[...] * den
-    cand = epi_ok & (un1_ref[...] > 0) & (un2_ref[...] > 0) \
-        & (far_ref[...] > 0)
+    epi_ok = num * num < sig_ref[0] * den
+    cand = epi_ok & (un1_ref[...] > 0) & (un2_ref[0] > 0) \
+        & (far_ref[0] > 0)
 
     dist = jnp.zeros((a.shape[0], N), jnp.int32)
     for w in range(8):
@@ -544,13 +544,16 @@ def epi_best_two_pallas(desc1, un1, la_b, lb_b, lc_b,
         raise ValueError("epi_best_two_pallas: N must be a TILE_N multiple")
     nT = N // TILE_N
     colf = lambda x: x.reshape(B * N, 1).astype(jnp.float32)
-    rowf = lambda x: x.astype(jnp.float32)
+    # per-neighbor row vectors ride as (B, 1, N): Mosaic requires the last
+    # two block dims divisible by (8, 128) or equal to the array dims
+    rowf = lambda x: x.astype(jnp.float32).reshape(B, 1, N)
 
     src_spec = pl.BlockSpec((TILE_N, 1), lambda b, i: (i, 0),
                             memory_space=pltpu.VMEM)
     per_bn_col = pl.BlockSpec((TILE_N, 1), lambda b, i: (b * nT + i, 0),
                               memory_space=pltpu.VMEM)
-    nb_row = pl.BlockSpec((1, N), lambda b, i: (b, 0), memory_space=pltpu.VMEM)
+    nb_row = pl.BlockSpec((1, 1, N), lambda b, i: (b, 0, 0),
+                          memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((TILE_N, 128), lambda b, i: (b * nT + i, 0),
                             memory_space=pltpu.VMEM)
     best, idx = pl.pallas_call(
@@ -560,7 +563,7 @@ def epi_best_two_pallas(desc1, un1, la_b, lb_b, lc_b,
             pl.BlockSpec((TILE_N, 8), lambda b, i: (i, 0),
                          memory_space=pltpu.VMEM),
             src_spec, per_bn_col, per_bn_col, per_bn_col,
-            pl.BlockSpec((N, 8), lambda b, i: (b, 0),
+            pl.BlockSpec((1, N, 8), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             nb_row, nb_row, nb_row, nb_row, nb_row,
         ],
@@ -569,7 +572,249 @@ def epi_best_two_pallas(desc1, un1, la_b, lb_b, lc_b,
                    jax.ShapeDtypeStruct((B * N, 128), jnp.int32)),
         interpret=interpret,
     )(desc1, un1.astype(jnp.float32)[:, None], colf(la_b), colf(lb_b),
-      colf(lc_b), desc2_b.reshape(B * N, 8),
+      colf(lc_b), desc2_b,
       rowf(xy2_b[..., 0]), rowf(xy2_b[..., 1]),
       rowf(un2_b), rowf(sig_b), rowf(far_b))
     return best[:, 0].reshape(B, N), idx[:, 0].reshape(B, N)
+
+
+# ---------------------------------------------------------------------------
+# Fully-fused pose optimization: the entire 4x10 LM schedule in ONE launch
+# ---------------------------------------------------------------------------
+
+def _pose_sweep(T, p, xw_ref, obs_ref, invs2_ref, st_ref, mask, robust):
+    """One linearization sweep at pose T (tuple of 12 scalars, row-major R
+    then t): returns the (32,1) reduced [H upper-tri(21), b(6), err, chi2?]
+    vector — the vectorized body shared with _pose_hbe_kernel."""
+    x = xw_ref[0:1, :]
+    y = xw_ref[1:2, :]
+    z = xw_ref[2:3, :]
+    pcx = T[0] * x + T[1] * y + T[2] * z + T[9]
+    pcy = T[3] * x + T[4] * y + T[5] * z + T[10]
+    pcz = T[6] * x + T[7] * y + T[8] * z + T[11]
+    fx, fy, cx, cy, bf = p(12), p(13), p(14), p(15), p(16)
+    invz = jnp.where(pcz > 1e-6, 1.0 / jnp.maximum(pcz, 1e-9), 0.0)
+    invz2 = invz * invz
+    u = fx * pcx * invz + cx
+    v = fy * pcy * invz + cy
+    ur = u - bf * invz
+    eu = obs_ref[0:1, :] - u
+    ev = obs_ref[1:2, :] - v
+    eur = obs_ref[2:3, :] - ur
+    st = st_ref[...]
+    inv_s2 = invs2_ref[...]
+    chi2 = inv_s2 * (eu * eu + ev * ev + st * eur * eur)
+    delta2 = p(17) + st * (p(18) - p(17))
+    if robust:
+        w_rob = jnp.where(chi2 <= delta2, 1.0,
+                          jnp.sqrt(delta2 / jnp.maximum(chi2, 1e-12)))
+    else:
+        w_rob = 1.0
+    depth_ok = (pcz > 1e-6).astype(x.dtype)
+    m = mask * depth_ok
+    w = w_rob * inv_s2 * m
+
+    a = fx * invz
+    b_ = fy * invz
+    c = -fx * pcx * invz2
+    d = -fy * pcy * invz2
+    cr = c + bf * invz2
+    Ju = (-a, 0.0, -c, -(c * pcy), -(a * pcz - c * pcx), a * pcy)
+    Jv = (0.0, -b_, -d, -(-b_ * pcz + d * pcy), d * pcx, -b_ * pcx)
+    Jr = (-a, 0.0, -cr, -(cr * pcy), -(a * pcz - cr * pcx), a * pcy)
+
+    zero = jnp.zeros_like(x)
+    asv = lambda t: zero + t
+    rows = []
+    wJu = [w * asv(Ju[i]) for i in range(6)]
+    wJv = [w * asv(Jv[i]) for i in range(6)]
+    wJr = [w * st * asv(Jr[i]) for i in range(6)]
+    for i in range(6):
+        for j in range(i, 6):
+            rows.append(wJu[i] * asv(Ju[j]) + wJv[i] * asv(Jv[j]) +
+                        wJr[i] * asv(Jr[j]))
+    for i in range(6):
+        rows.append(-(wJu[i] * eu + wJv[i] * ev + wJr[i] * eur))
+    rows.append(chi2 * m)
+    rows += [zero] * (32 - len(rows))
+    mat = jnp.concatenate(rows, axis=0)                 # (32, E)
+    return jnp.sum(mat, axis=1, keepdims=True)          # (32, 1)
+
+
+def _pose_classify(T, p, xw_ref, obs_ref, invs2_ref, st_ref, valid):
+    """chi2 + depth reclassification at pose T — the between-rounds inlier
+    update of optimize_pose (penalty z-clamp form, matching the XLA
+    project_residual)."""
+    x = xw_ref[0:1, :]
+    y = xw_ref[1:2, :]
+    z = xw_ref[2:3, :]
+    pcx = T[0] * x + T[1] * y + T[2] * z + T[9]
+    pcy = T[3] * x + T[4] * y + T[5] * z + T[10]
+    pcz = T[6] * x + T[7] * y + T[8] * z + T[11]
+    fx, fy, cx, cy, bf = p(12), p(13), p(14), p(15), p(16)
+    invz = 1.0 / jnp.maximum(pcz, 1e-9)    # project_residual's z clamp
+    u = fx * pcx * invz + cx
+    v = fy * pcy * invz + cy
+    ur = u - bf * invz
+    eu = obs_ref[0:1, :] - u
+    ev = obs_ref[1:2, :] - v
+    eur = obs_ref[2:3, :] - ur
+    st = st_ref[...]
+    chi2 = invs2_ref[...] * (eu * eu + ev * ev + st * eur * eur)
+    delta2 = p(17) + st * (p(18) - p(17))
+    inl = valid * (chi2 <= delta2).astype(x.dtype) * \
+        (pcz > 0).astype(x.dtype)
+    return inl, chi2
+
+
+def _chol6_solve(H, b, lam):
+    """Damped 6x6 Cholesky solve on scalars. H: dict[(i,j)] upper-tri
+    scalars; b: list of 6. Returns dx list of 6. A non-SPD system yields
+    NaNs, which the LM accept test rejects (NaN < err is False)."""
+    A = [[None] * 6 for _ in range(6)]
+    for i in range(6):
+        for j in range(i, 6):
+            A[i][j] = A[j][i] = H[(i, j)]
+    for i in range(6):
+        A[i][i] = A[i][i] * (1.0 + lam) + 1e-10
+    L = [[None] * 6 for _ in range(6)]
+    for i in range(6):
+        s = A[i][i]
+        for k in range(i):
+            s = s - L[i][k] * L[i][k]
+        L[i][i] = jnp.sqrt(s)
+        inv_d = 1.0 / L[i][i]
+        for j in range(i + 1, 6):
+            s = A[j][i]
+            for k in range(i):
+                s = s - L[j][k] * L[i][k]
+            L[j][i] = s * inv_d
+    # forward then backward substitution
+    yv = [None] * 6
+    for i in range(6):
+        s = b[i]
+        for k in range(i):
+            s = s - L[i][k] * yv[k]
+        yv[i] = s / L[i][i]
+    dx = [None] * 6
+    for i in range(5, -1, -1):
+        s = yv[i]
+        for k in range(i + 1, 6):
+            s = s - L[k][i] * dx[k]
+        dx[i] = s / L[i][i]
+    return dx
+
+
+def _se3_retract_scalars(T, dx):
+    """exp((rho,phi)) @ T on 12 scalars (se3.retract / g2o oplusImpl).
+    dx = (rho0..2, phi0..2)."""
+    rho = dx[:3]
+    w0, w1, w2 = dx[3], dx[4], dx[5]
+    th2 = w0 * w0 + w1 * w1 + w2 * w2
+    th = jnp.sqrt(jnp.maximum(th2, 0.0))
+    small = th2 < 1e-12
+    safe = jnp.where(small, 1.0, th2)
+    A = jnp.where(small, 1.0 - th2 / 6.0, jnp.sin(th) / jnp.sqrt(safe))
+    B = jnp.where(small, 0.5 - th2 / 24.0, (1.0 - jnp.cos(th)) / safe)
+    C = jnp.where(small, 1.0 / 6.0 - th2 / 120.0,
+                  (th - jnp.sin(th)) / (safe * jnp.sqrt(safe)))
+    # W = hat(phi); R_exp = I + A W + B W^2 ; V = I + B W + C W^2
+    W = [[0.0, -w2, w1], [w2, 0.0, -w0], [-w1, w0, 0.0]]
+    W2 = [[sum(W[i][k] * W[k][j] for k in range(3)) for j in range(3)]
+          for i in range(3)]
+    I3 = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]]
+    Re = [[I3[i][j] + A * W[i][j] + B * W2[i][j] for j in range(3)]
+          for i in range(3)]
+    V = [[I3[i][j] + B * W[i][j] + C * W2[i][j] for j in range(3)]
+         for i in range(3)]
+    te = [sum(V[i][j] * rho[j] for j in range(3)) for i in range(3)]
+    R = [[T[3 * i + j] for j in range(3)] for i in range(3)]
+    t = [T[9], T[10], T[11]]
+    Rn = [[sum(Re[i][k] * R[k][j] for k in range(3)) for j in range(3)]
+          for i in range(3)]
+    tn = [sum(Re[i][k] * t[k] for k in range(3)) + te[i] for i in range(3)]
+    return tuple(Rn[0] + Rn[1] + Rn[2] + tn)
+
+
+def _pose_lm_kernel(par_ref, xw_ref, obs_ref, invs2_ref, st_ref, valid_ref,
+                    pose_ref, inl_ref, chi2_ref, *, n_rounds, n_iters):
+    """The COMPLETE PoseOptimization schedule (src/Optimizer.cc:375-622) in
+    one launch: n_rounds rounds of n_iters LM steps (Huber on the first two
+    rounds) with chi2 reclassification between rounds. The per-iteration
+    host graph (6x6 solve, retract, accept/reject) was ~25 small XLA ops x
+    40 iterations of pure launch latency; here it is scalar-unit work
+    between the fused edge sweeps."""
+    p = lambda i: par_ref[0, i]
+    T = tuple(p(i) for i in range(12))
+    valid = valid_ref[...]
+    inl = valid
+    chi2 = jnp.zeros_like(valid)
+    for r in range(n_rounds):
+        robust = r < 2
+        vec = _pose_sweep(T, p, xw_ref, obs_ref, invs2_ref, st_ref, inl,
+                          robust)
+        H = {}
+        kidx = 0
+        for i in range(6):
+            for j in range(i, 6):
+                H[(i, j)] = vec[kidx, 0]
+                kidx += 1
+        b = [vec[21 + i, 0] for i in range(6)]
+        err = vec[27, 0]
+        lam = jnp.float32(1e-4)
+        for _ in range(n_iters):
+            dx = _chol6_solve(H, b, lam)
+            T_new = _se3_retract_scalars(T, dx)
+            vec2 = _pose_sweep(T_new, p, xw_ref, obs_ref, invs2_ref, st_ref,
+                               inl, robust)
+            err_new = vec2[27, 0]
+            acc = err_new < err
+            T = tuple(jnp.where(acc, tn, to) for tn, to in zip(T_new, T))
+            kidx = 0
+            for i in range(6):
+                for j in range(i, 6):
+                    H[(i, j)] = jnp.where(acc, vec2[kidx, 0], H[(i, j)])
+                    kidx += 1
+            b = [jnp.where(acc, vec2[21 + i, 0], b[i]) for i in range(6)]
+            err = jnp.where(acc, err_new, err)
+            lam = jnp.where(acc, jnp.maximum(lam * 0.5, 1e-9),
+                            jnp.minimum(lam * 4.0, 1e6))
+        inl, chi2 = _pose_classify(T, p, xw_ref, obs_ref, invs2_ref, st_ref,
+                                   valid)
+    rows = [jnp.full((1, 128), T[i], jnp.float32) for i in range(12)]
+    rows.append(jnp.full((1, 128), jnp.sum(inl), jnp.float32))
+    rows += [jnp.zeros((1, 128), jnp.float32)] * 3
+    pose_ref[...] = jnp.concatenate(rows, axis=0)
+    inl_ref[...] = inl
+    chi2_ref[...] = chi2
+
+
+@functools.partial(jax.jit, static_argnames=("n_rounds", "n_iters",
+                                             "interpret"))
+def pose_lm_pallas(Tcw, fx, fy, cx, cy, bf, Xw_t, obs_t, inv_sigma2,
+                   stereo_f, valid, delta2_mono, delta2_stereo,
+                   n_rounds: int, n_iters: int, interpret: bool = False):
+    """Fused full pose solve. Xw_t/obs_t (3,E); inv_sigma2/stereo_f/valid
+    (1,E) f32; E a 128 multiple. Returns (Tcw (4,4), inliers (E,) bool,
+    n_inliers (), chi2 (E,))."""
+    E = Xw_t.shape[1]
+    assert E % 128 == 0, "pad edges to a lane multiple"
+    par = jnp.concatenate([
+        Tcw[:3, :3].reshape(-1), Tcw[:3, 3],
+        jnp.stack([fx, fy, cx, cy, bf, delta2_mono, delta2_stereo])
+    ]).astype(jnp.float32)
+    par = jnp.pad(par, (0, 128 - par.shape[0]))[None, :]
+    pose, inl, chi2 = pl.pallas_call(
+        functools.partial(_pose_lm_kernel, n_rounds=n_rounds,
+                          n_iters=n_iters),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),) * 3,
+        out_shape=(jax.ShapeDtypeStruct((16, 128), jnp.float32),
+                   jax.ShapeDtypeStruct((1, E), jnp.float32),
+                   jax.ShapeDtypeStruct((1, E), jnp.float32)),
+        interpret=interpret,
+    )(par, Xw_t, obs_t, inv_sigma2, stereo_f, valid)
+    R = pose[:9, 0].reshape(3, 3)
+    t = pose[9:12, 0]
+    T = jnp.eye(4, dtype=jnp.float32).at[:3, :3].set(R).at[:3, 3].set(t)
+    return T, inl[0] > 0, pose[12, 0].astype(jnp.int32), chi2[0]

@@ -125,6 +125,20 @@ def optimize_pose(cam: Camera, Tcw0, Xw, obs_uvr, level, valid, level_sigma2,
     # (exp(dx) @ T) preserves whatever error the seed carries, and on-device
     # pose chains (pipelined tracking) would otherwise compound it
     Tcw = se3.orthonormalize(Tcw0)
+    if use_pallas:
+        # the ENTIRE schedule in one Pallas launch (ops/pallas_kernels.
+        # pose_lm_pallas): the per-iteration host graph (6x6 solve, retract,
+        # accept/reject) was ~25 small op launches x n_rounds*n_iters of
+        # pure latency
+        from ..ops import pallas_kernels as pk
+        Xw_t, obs_t, invs2_row, st_row = aux
+        T, inliers, n_inl, chi2 = pk.pose_lm_pallas(
+            Tcw, cam.fx, cam.fy, cam.cx, cam.cy, cam.bf, Xw_t, obs_t,
+            invs2_row, st_row, valid.astype(jnp.float32)[None, :],
+            jnp.float32(reproj.CHI2_MONO), jnp.float32(reproj.CHI2_STEREO),
+            n_rounds=n_rounds, n_iters=n_iters)
+        return PoseOptResult(Tcw=T, inliers=inliers, n_inliers=n_inl,
+                             chi2=chi2)
     inlier = valid
     for r in range(n_rounds):
         robust = r < 2  # reference drops the Huber kernel after round 2

@@ -118,3 +118,43 @@ class TestJacobians:
         e, pc, _ = reproj.project_residual(cam, T, jnp.asarray(Xw), jnp.asarray(obs), stereo_mask)
         _, J_pt = reproj.pose_point_jacobians(cam, T, pc)
         np.testing.assert_allclose(J_auto, np.asarray(J_pt), atol=1e-3, rtol=1e-3)
+
+
+class TestPoseLMFused:
+    """The one-launch fused LM kernel (pose_lm_pallas, interpret mode) vs
+    the XLA schedule: same solution within LM-trajectory tolerance (the
+    in-kernel Cholesky and the XLA LU take slightly different damped
+    steps)."""
+
+    def _run_both(self, rng, stereo, with_outliers=False, n=256):
+        from orb_slam2_tpu.ops import pallas_kernels as pk
+        cam, Xw, obs, T_true = make_scene(rng, n=n, stereo=stereo)
+        if with_outliers:
+            k = n // 8
+            obs[:k, :2] += rng.uniform(30, 80, (k, 2)).astype(np.float32)
+        T0 = se3.retract(jnp.asarray(T_true),
+                         jnp.asarray([0.1, -0.08, 0.05, 0.03, -0.02, 0.04]))
+        args = (cam, T0, jnp.asarray(Xw), jnp.asarray(obs),
+                jnp.zeros(n, jnp.int32), jnp.ones(n, bool), LEVEL_SIGMA2)
+        ref = pose_opt.optimize_pose(*args)
+        orig = pk.pose_lm_pallas
+        pk.pose_lm_pallas = lambda *a, **k: orig(
+            *a, **{**k, "interpret": True})
+        try:
+            got = pose_opt.optimize_pose(*args, use_pallas=True)
+        finally:
+            pk.pose_lm_pallas = orig
+        return ref, got, T_true
+
+    def test_matches_xla_mono(self, rng):
+        ref, got, T_true = self._run_both(rng, stereo=False)
+        np.testing.assert_allclose(np.asarray(got.Tcw), T_true, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(got.Tcw), np.asarray(ref.Tcw),
+                                   atol=1e-3)
+        assert int(got.n_inliers) == int(ref.n_inliers)
+
+    def test_matches_xla_stereo_outliers(self, rng):
+        ref, got, T_true = self._run_both(rng, stereo=True,
+                                          with_outliers=True)
+        np.testing.assert_allclose(np.asarray(got.Tcw), T_true, atol=2e-3)
+        assert abs(int(got.n_inliers) - int(ref.n_inliers)) <= 2
